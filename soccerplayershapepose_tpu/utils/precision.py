@@ -1,0 +1,18 @@
+"""Precision-pinned contraction helpers.
+
+The default matmul precision on TPU (and on this JAX build, everywhere) rounds
+operands toward bf16. That is the right trade for the CNN compute path, but the
+geometry/metric core (projection, Procrustes, SMPL joint regression) needs full
+f32 accumulation — a 1-ulp bf16 error on a 5000-focal-length projection is ~2px.
+Use these wrappers anywhere numerical parity with the reference matters.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+hp_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+hp_matmul = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
