@@ -1,0 +1,67 @@
+"""Headline benchmark: player crops/sec/chip for the crop→SMPL-mesh slice.
+
+Runs the full batched predict path (proxy construction → ResNet18+IEF
+regressor → fused SMPL LBS → weak-perspective projection) at batch 128 on the
+available chip and prints ONE JSON line. Baseline target (BASELINE.json):
+≥500 crops/sec/chip on TPU v5e.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from soccerplayershapepose_tpu.pipeline.predict import build_predictor
+    from soccerplayershapepose_tpu.smpl import load_assets
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+
+    assets = load_assets()
+    _, params, fn = build_predictor(in_channels=18, resnet_layers=18)
+
+    rng = np.random.RandomState(0)
+    silhouette = jnp.asarray((rng.rand(batch, 512, 512) > 0.8)
+                             .astype(np.float32))
+    joints2d = jnp.asarray(rng.uniform(64, 448, (batch, 17, 2))
+                           .astype(np.float32))
+
+    # NOTE: jax.block_until_ready does not truly block on the axon TPU
+    # tunnel; force completion by accumulating a scalar data dependency
+    # across calls and pulling 4 bytes to host at the end.
+    def timed_pass(n):
+        t0 = time.perf_counter()
+        acc = jnp.zeros(())
+        for _ in range(n):
+            out = fn(params, assets, silhouette, joints2d)
+            acc = acc + out.vertices[0, 0, 0]
+        float(acc)
+        return time.perf_counter() - t0
+
+    out = fn(params, assets, silhouette, joints2d)    # compile
+    float(out.vertices.sum())
+    timed_pass(3)                                     # residual warmup
+    dt = timed_pass(iters)
+
+    crops_per_sec = batch * iters / dt
+    baseline = 500.0
+    print(json.dumps({
+        "metric": "player crops/sec/chip (crop->SMPL mesh, batch %d)" % batch,
+        "value": round(crops_per_sec, 1),
+        "unit": "crops/s",
+        "vs_baseline": round(crops_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

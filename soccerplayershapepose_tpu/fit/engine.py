@@ -1,0 +1,230 @@
+"""Shared machinery for the render-and-compare fitting loops.
+
+The reference fitting stages
+(``/root/reference/Python/Soccer/PlayerReconstruction/player_recon.py:1046-2262``)
+share one inner loop: SMPL forward → weak-persp joint projection →
+NMR silhouette render → homoscedastic joints2D(+silhouette) loss → Adam step →
+CPU-numpy metric computation → best-iterate bookkeeping. Quirks preserved:
+
+* rotation matrices are optimized as FREE 3×3 tensors (no re-orthonormalization
+  during the loop — player_recon.py:1197-1206),
+* the loss log-variances stay FIXED at their init (criterion parameters are
+  excluded from the optimizer — player_recon.py:1197),
+* joints2D in the loss are normalized by REGRESSOR_IMG_WH=256 although they
+  live in 512-proxy space (multi_task_loss.py:110-112),
+* best-iterate selection: an iterate is kept iff EVERY tracked metric is ≤ the
+  best so far (train_loss_and_metrics_tracker.py:291-298); tracked metrics are
+  the mean-per-joint 2D L2 error and the silhouette BCE-style score
+  (init_loss_and_metric, player_recon.py:842-872),
+* the reported joint error casts predicted keypoints to int32 first
+  (player_recon.py:1231-1233).
+
+TPU re-design: the whole loop (including metrics and best-iterate tracking)
+runs inside ONE ``lax.scan`` per stage, batched over players — no host round
+trips (the reference crosses the device boundary twice per iteration).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from soccerplayershapepose_tpu import config as cfg
+from soccerplayershapepose_tpu.losses.multi_task import (
+    MultiTaskLossConfig, init_loss_state, multi_task_loss)
+from soccerplayershapepose_tpu.ops.camera import (
+    orthographic_project, undo_keypoint_normalisation,
+    weak_perspective_to_translation)
+from soccerplayershapepose_tpu.ops.segmentation import (
+    silhouette_confusion_metrics)
+from soccerplayershapepose_tpu.render.softras import render_silhouette
+from soccerplayershapepose_tpu.smpl.assets import SMPLAssets
+from soccerplayershapepose_tpu.smpl.model import smpl_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    iters: int = cfg.SINGLE_VIEW_ITERS
+    lr: float = cfg.FITTING_LR
+    use_silhouette: bool = True
+    proxy_wh: int = cfg.PROXY_REP_INPUT_WH
+    render_wh: int = cfg.PROXY_REP_INPUT_WH   # lower for speed
+    sigma: float = 1e-5
+    focal_length: float = cfg.FOCAL_LENGTH
+    # The reference computes silhouette metrics every iteration even when the
+    # silhouette loss is off; set False to skip the render entirely
+    # (joints-only fitting — large speedup, metrics report 0).
+    silhouette_metrics: bool = True
+
+
+class FitInit(NamedTuple):
+    """Initial SMPL state per player (from the regressor or a prior stage)."""
+    body_pose: jnp.ndarray      # (B, 23, 3, 3)
+    global_orient: jnp.ndarray  # (B, 1, 3, 3)
+    betas: jnp.ndarray          # (B, 10)
+    cam_wp: jnp.ndarray         # (B, 3)
+
+
+class FitResult(NamedTuple):
+    body_pose: jnp.ndarray      # (B, 23, 3, 3) best iterate
+    global_orient: jnp.ndarray  # (B, 1, 3, 3)
+    betas: jnp.ndarray          # (B, 10)
+    cam_wp: jnp.ndarray         # (B, 3)
+    translation: jnp.ndarray    # (B, 3)
+    silh_iou: jnp.ndarray       # (B,) best-iterate silhouette IoU
+    joint_err: jnp.ndarray      # (B,) best-iterate joint px error (int-cast)
+    init_silh_iou: jnp.ndarray  # (B,) metrics at iteration 1
+    init_joint_err: jnp.ndarray
+    best_iter: jnp.ndarray      # (B,) 1-based iteration index of best
+
+
+def make_loss_state(use_silhouette: bool):
+    losses_on = ["joints2D"] + (["silhouette"] if use_silhouette else [])
+    return tuple(losses_on), init_loss_state(
+        losses_on, cfg.FITTING_INIT_LOSS_WEIGHTS)
+
+
+def evaluate_fit(assets: SMPLAssets, body_pose, global_orient, betas, cam_wp,
+                 target_silhouette, target_joints2d, fit_cfg: FitConfig):
+    """One forward evaluation: loss inputs + on-device metrics.
+
+    Returns dict with pred_j2d (float px), pred_sil (render_wh²), iou,
+    joint_err (int-cast parity), bce_score (the tracker's 'silhouette_iou').
+    """
+    out = smpl_forward(assets, betas, body_pose, global_orient)
+    j2d = orthographic_project(out.joints, cam_wp)
+    j2d = j2d[:, jnp.asarray(cfg.SMPL_TO_KPRCNN_MAP)]
+    j2d = undo_keypoint_normalisation(j2d, fit_cfg.proxy_wh)
+
+    translation = weak_perspective_to_translation(
+        cam_wp, fit_cfg.focal_length, fit_cfg.proxy_wh)
+
+    need_sil = fit_cfg.use_silhouette or fit_cfg.silhouette_metrics
+    if need_sil:
+        pred_sil = render_silhouette(out.vertices, translation, assets.faces,
+                                     fit_cfg.proxy_wh, fit_cfg.focal_length,
+                                     sigma=fit_cfg.sigma,
+                                     render_wh=fit_cfg.render_wh)
+        target_sil = target_silhouette
+        if fit_cfg.render_wh != target_silhouette.shape[-1]:
+            step = target_silhouette.shape[-1] // fit_cfg.render_wh
+            target_sil = target_silhouette[..., ::step, ::step]
+        iou = silhouette_confusion_metrics(pred_sil, target_sil)["iou"]
+        bce = -jnp.sum(
+            pred_sil * jnp.log(target_sil + 1e-6)
+            + (1.0 - pred_sil) * jnp.log(1.0 - target_sil + 1e-6),
+            axis=(-2, -1))
+    else:
+        b = target_joints2d.shape[0]
+        pred_sil = target_sil = jnp.zeros((b, 1, 1))
+        iou = jnp.zeros((b,))
+        bce = jnp.zeros((b,))
+
+    # Reference parity: keypoints cast to int32 before the error
+    # (player_recon.py:1231-1233).
+    joint_err = jnp.mean(jnp.linalg.norm(
+        jnp.trunc(j2d) - target_joints2d[..., :2], axis=-1), axis=-1)
+    return {"pred_j2d": j2d, "pred_sil": pred_sil, "target_sil": target_sil,
+            "iou": iou, "joint_err": joint_err, "bce_score": bce,
+            "translation": translation, "vertices": out.vertices}
+
+
+def run_fit_loop(assets: SMPLAssets,
+                 trainable: dict,
+                 frozen: dict,
+                 assemble,
+                 target_silhouette: jnp.ndarray,
+                 target_joints2d: jnp.ndarray,
+                 fit_cfg: FitConfig,
+                 mask: Optional[jnp.ndarray] = None):
+    """Generic fitting loop under one lax.scan.
+
+    Args:
+      trainable: pytree of optimized tensors (batched on axis 0).
+      frozen: pytree of constants the assembler needs.
+      assemble: fn(trainable, frozen) → (body_pose, global_orient, betas,
+        cam_wp) — stage-specific parameter assembly (e.g. hands/feet splice).
+      mask: (B,) 1.0 for real players; padded players contribute no loss.
+
+    Returns:
+      (best trainable pytree, FitResult-style dict of best metrics).
+    """
+    losses_on, log_vars = make_loss_state(fit_cfg.use_silhouette)
+    loss_cfg = MultiTaskLossConfig(losses_on=losses_on)
+    tx = optax.adam(fit_cfg.lr)
+    opt_state = tx.init(trainable)
+
+    b = target_joints2d.shape[0]
+    if mask is None:
+        mask = jnp.ones((b,), jnp.float32)
+
+    def loss_fn(trainable):
+        body_pose, global_orient, betas, cam_wp = assemble(trainable, frozen)
+        ev = evaluate_fit(assets, body_pose, global_orient, betas, cam_wp,
+                          target_silhouette, target_joints2d, fit_cfg)
+        outputs = {"joints2D": ev["pred_j2d"] * mask[:, None, None]}
+        labels = {"joints2D": target_joints2d[..., :2] * mask[:, None, None]}
+        if fit_cfg.use_silhouette:
+            outputs["silhouette"] = ev["pred_sil"] * mask[:, None, None]
+            labels["silhouette"] = ev["target_sil"] * mask[:, None, None]
+        total, _ = multi_task_loss(log_vars, outputs, labels, loss_cfg)
+        return total, ev
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(carry, it):
+        trainable, opt_state, best = carry
+        (_, ev), grads = grad_fn(trainable)
+
+        # Tracked save metrics (reference init_loss_and_metric): per-sample
+        # mean-per-joint 2D L2 (float pred) + silhouette BCE score.
+        j2d_l2 = jnp.mean(jnp.linalg.norm(
+            ev["pred_j2d"] - target_joints2d[..., :2], axis=-1), axis=-1)
+        metrics = (j2d_l2, ev["bce_score"]) if fit_cfg.use_silhouette \
+            else (j2d_l2, jnp.zeros_like(j2d_l2))
+
+        improve = (metrics[0] <= best["m0"]) & (metrics[1] <= best["m1"])
+
+        def select(new, old):
+            shape = (b,) + (1,) * (new.ndim - 1)
+            return jnp.where(improve.reshape(shape), new, old)
+
+        new_best = {
+            "m0": jnp.where(improve, metrics[0], best["m0"]),
+            "m1": jnp.where(improve, metrics[1], best["m1"]),
+            "iou": jnp.where(improve, ev["iou"], best["iou"]),
+            "joint_err": jnp.where(improve, ev["joint_err"], best["joint_err"]),
+            "iter": jnp.where(improve, it + 1, best["iter"]),
+            "params": jax.tree_util.tree_map(select, trainable, best["params"]),
+            "init_iou": jnp.where(it == 0, ev["iou"], best["init_iou"]),
+            "init_joint_err": jnp.where(it == 0, ev["joint_err"],
+                                        best["init_joint_err"]),
+        }
+        updates, new_opt = tx.update(grads, opt_state, trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        return (new_trainable, new_opt, new_best), None
+
+    inf = jnp.full((b,), jnp.inf)
+    best0 = {"m0": inf, "m1": inf, "iou": jnp.zeros((b,)),
+             "joint_err": jnp.zeros((b,)), "iter": jnp.zeros((b,), jnp.int32),
+             "params": trainable, "init_iou": jnp.zeros((b,)),
+             "init_joint_err": jnp.zeros((b,))}
+
+    (final_trainable, _, best), _ = jax.lax.scan(
+        step, (trainable, opt_state, best0), jnp.arange(fit_cfg.iters))
+    del final_trainable   # the reference keeps the best iterate, not the last
+    return best["params"], best
+
+
+def fit_metrics(assets: SMPLAssets, init: FitInit, silhouette, joints2d,
+                fit_cfg: FitConfig):
+    """Standalone metric evaluation of a parameter set (the reference's
+    ``eval_metrics`` / ``calc_initial_metrics``, player_recon.py:253-485,
+    2264-2389): mean silhouette IoU + int-cast joint px error."""
+    ev = evaluate_fit(assets, init.body_pose, init.global_orient, init.betas,
+                      init.cam_wp, silhouette, joints2d, fit_cfg)
+    return {"silh_iou": ev["iou"], "joint_err": ev["joint_err"]}

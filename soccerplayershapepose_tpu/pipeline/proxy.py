@@ -1,0 +1,69 @@
+"""Proxy-representation construction (silhouette + joint heatmaps [+ IUV]).
+
+Role of the reference ``create_proxy_representation``
+(``/root/reference/Python/Soccer/PlayerReconstruction/predict/predict_3D.py:67-81``):
+resize the 512² silhouette to 256² with nearest-neighbour, scale the 2D joints
+by 256/512, cast them to int16 and synthesize 17 Gaussian heatmaps, then stack
+[silhouette, heatmaps] → 18 channels. IUV variants append 3 IUV channels
+(PyTorch3DTest.py:2092-2116 — 20ch drops the silhouette, 21ch keeps it,
+player_iuv_sp.py:88).
+
+Fully batched and jit-safe; emits NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from soccerplayershapepose_tpu import config as cfg
+from soccerplayershapepose_tpu.ops.heatmaps import joints2d_to_gaussian_heatmaps
+
+
+def resize_nearest(images: jnp.ndarray, out_wh: int) -> jnp.ndarray:
+    """Nearest-neighbour resize on the trailing two axes (..., H, W).
+
+    Matches ``cv2.resize(..., interpolation=cv2.INTER_NEAREST)`` for integer
+    downscale factors (source index = floor(dst · in/out))."""
+    in_h, in_w = images.shape[-2], images.shape[-1]
+    ys = (jnp.arange(out_wh) * (in_h / out_wh)).astype(jnp.int32)
+    xs = (jnp.arange(out_wh) * (in_w / out_wh)).astype(jnp.int32)
+    return images[..., ys[:, None], xs[None, :]]
+
+
+def create_proxy_representation(silhouette: jnp.ndarray,
+                                joints2d: jnp.ndarray,
+                                in_wh: int = cfg.PROXY_REP_INPUT_WH,
+                                out_wh: int = cfg.REGRESSOR_IMG_WH,
+                                iuv: Optional[jnp.ndarray] = None,
+                                include_silhouette: bool = True) -> jnp.ndarray:
+    """Build batched proxy representations.
+
+    Args:
+      silhouette: (B, in_wh, in_wh) binary masks.
+      joints2d: (B, 17, 2) or (B, 17, 3) keypoints in in_wh pixel space
+        (confidence column ignored).
+      iuv: optional (B, in_wh, in_wh, 3) DensePose IUV image in [0, 1].
+      include_silhouette: False gives the 20-channel heatmaps+IUV variant.
+
+    Returns:
+      (B, out_wh, out_wh, C) NHWC proxy, C ∈ {18, 20, 21}.
+    """
+    scale = out_wh / float(in_wh)
+    # Reference casts scaled joints to int16 before heatmap synthesis
+    # (predict_3D.py:76); jnp.trunc in the heatmap op reproduces the cast.
+    joints = jnp.trunc(joints2d[..., :2] * scale)
+    heatmaps = joints2d_to_gaussian_heatmaps(joints, out_wh)       # (B,17,H,W)
+    heatmaps = jnp.moveaxis(heatmaps, 1, -1)                       # → NHWC
+
+    channels = []
+    if include_silhouette:
+        channels.append(resize_nearest(silhouette.astype(jnp.float32),
+                                       out_wh)[..., None])
+    channels.append(heatmaps)
+    if iuv is not None:
+        channels.append(resize_nearest(
+            jnp.moveaxis(iuv.astype(jnp.float32), -1, -3), out_wh)
+            .transpose(0, 2, 3, 1))
+    return jnp.concatenate(channels, axis=-1)

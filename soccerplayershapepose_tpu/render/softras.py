@@ -1,0 +1,200 @@
+"""Differentiable soft-silhouette rasterizer (SoftRas-style), pure XLA.
+
+TPU-native replacement for the CUDA rasterizers the reference depends on:
+``neural_renderer`` silhouette mode in every fitting loop
+(``/root/reference/Python/Soccer/PlayerReconstruction/player_recon.py:1226-1229``)
+and pytorch3d's ``SoftSilhouetteShader`` in ``train_regressor``
+(player_recon.py:700-719). Both render the SMPL mesh under a perspective
+camera (K with focal 5000, identity R, translation from the weak-perspective
+camera) to a (wh, wh) silhouette whose gradients drive the optimization.
+
+Algorithm (Liu et al., "Soft Rasterizer", ICCV'19): per (pixel, face) a
+soft coverage ``D = sigmoid(sign · d² / σ)`` where ``d`` is the 2-D Euclidean
+distance from the pixel to the triangle (sign positive inside), aggregated
+over faces as ``S = 1 - Π(1 - D)``. As σ → 0 this converges to the hard
+silhouette; gradients flow to vertices through the distance field.
+
+Implementation notes (TPU):
+* pixels live on the last axis as a flat (wh·wh) vector — lane-aligned
+  (wh² is a multiple of 128 for all used sizes);
+* faces are processed in chunks under ``lax.scan`` with a running
+  ``Σ log(1 - D)`` carry, so peak memory is (B, chunk, wh²) per step and the
+  backward pass rematerializes chunks (``jax.checkpoint``);
+* the aggregation runs in log-space: ``S = 1 - exp(Σ log1p(-D))``.
+
+A Pallas tile-binned kernel is the planned fast path; this XLA version is the
+reference implementation and the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from soccerplayershapepose_tpu.ops.camera import perspective_project
+
+
+def _point_triangle_coverage(px, py, tri, sigma):
+    """Soft coverage of pixels by triangles.
+
+    Args:
+      px, py: (P,) pixel center coordinates.
+      tri: (B, C, 3, 2) triangle vertices in pixel space.
+      sigma: softness (pixel² units).
+
+    Returns:
+      (B, C, P) coverage D in [0, 1].
+    """
+    ax, ay = tri[..., 0, 0], tri[..., 0, 1]            # (B, C)
+    bx, by = tri[..., 1, 0], tri[..., 1, 1]
+    cx, cy = tri[..., 2, 0], tri[..., 2, 1]
+
+    def edge_terms(x0, y0, x1, y1):
+        """Per-edge: (signed area term, squared distance to segment)."""
+        ex = (x1 - x0)[..., None]                      # (B, C, 1)
+        ey = (y1 - y0)[..., None]
+        pxr = px[None, None, :] - x0[..., None]        # (B, C, P)
+        pyr = py[None, None, :] - y0[..., None]
+        cross = ex * pyr - ey * pxr                    # edge function
+        ee = ex * ex + ey * ey
+        t = jnp.clip((pxr * ex + pyr * ey) / jnp.maximum(ee, 1e-12), 0.0, 1.0)
+        dx = pxr - t * ex
+        dy = pyr - t * ey
+        return cross, dx * dx + dy * dy
+
+    c0, d0 = edge_terms(ax, ay, bx, by)
+    c1, d1 = edge_terms(bx, by, cx, cy)
+    c2, d2 = edge_terms(cx, cy, ax, ay)
+
+    # Inside for either winding (back faces count for silhouettes).
+    # Zero-area (degenerate/padding) triangles have all edge functions 0 and
+    # would otherwise classify EVERY pixel as inside — guard on the area.
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    nondegenerate = (jnp.abs(area) > 1e-9)[..., None]
+    inside = (((c0 >= 0) & (c1 >= 0) & (c2 >= 0)) |
+              ((c0 <= 0) & (c1 <= 0) & (c2 <= 0))) & nondegenerate
+    d2min = jnp.minimum(d0, jnp.minimum(d1, d2))
+    signed = jnp.where(inside, d2min, -d2min)
+    return jax.nn.sigmoid(signed / sigma)
+
+
+@functools.partial(jax.jit, static_argnames=("img_wh", "faces_per_chunk"))
+def soft_silhouette(verts2d: jnp.ndarray,
+                    faces: jnp.ndarray,
+                    img_wh: int,
+                    sigma: float = 1e-5,
+                    faces_per_chunk: int = 86) -> jnp.ndarray:
+    """Render soft silhouettes from projected vertices.
+
+    Args:
+      verts2d: (B, V, 2) vertex positions in pixel coordinates.
+      faces: (F, 3) int vertex indices (padded faces may repeat a vertex —
+        degenerate triangles have zero interior and negligible coverage).
+      img_wh: output resolution.
+      sigma: softness in NORMALIZED units (image half-size = 1); converted to
+        pixel² internally so behavior is resolution-invariant. 1e-5 ≈ sharp.
+      faces_per_chunk: faces per scan step (memory / step-count trade;
+        must divide the padded face count — 13776 = 86·160).
+
+    Returns:
+      (B, img_wh, img_wh) silhouettes in [0, 1], row-major (y, x).
+    """
+    b, _, _ = verts2d.shape
+    f = faces.shape[0]
+    sigma_px = sigma * (img_wh / 2.0) ** 2
+
+    n_chunks = -(-f // faces_per_chunk)
+    pad = n_chunks * faces_per_chunk - f
+    faces_p = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), faces.dtype)]) if pad else faces
+    face_chunks = faces_p.reshape(n_chunks, faces_per_chunk, 3)
+    chunk_valid = (jnp.arange(n_chunks * faces_per_chunk) < f).reshape(
+        n_chunks, faces_per_chunk)
+
+    coords = jnp.arange(img_wh, dtype=jnp.float32)
+    py_grid, px_grid = jnp.meshgrid(coords, coords, indexing="ij")
+    px = px_grid.reshape(-1)
+    py = py_grid.reshape(-1)
+
+    def step(carry, chunk):
+        fidx, valid = chunk
+        tri = verts2d[:, fidx]                             # (B, c, 3, 2)
+        d = _point_triangle_coverage(px, py, tri, sigma_px)
+        d = jnp.where(valid[None, :, None], d, 0.0)
+        d = jnp.minimum(d, 1.0 - 1e-7)
+        return carry + jnp.sum(jnp.log1p(-d), axis=1), None
+
+    log_miss, _ = jax.lax.scan(jax.checkpoint(step),
+                               jnp.zeros((b, img_wh * img_wh), jnp.float32),
+                               (face_chunks, chunk_valid))
+    return (1.0 - jnp.exp(log_miss)).reshape(b, img_wh, img_wh)
+
+
+def hard_silhouette(verts2d: jnp.ndarray, faces: jnp.ndarray,
+                    img_wh: int, faces_per_chunk: int = 86) -> jnp.ndarray:
+    """Binary coverage (pixel center strictly inside any face) — the metric-
+    side counterpart of :func:`soft_silhouette` (no gradients needed)."""
+    b = verts2d.shape[0]
+    f = faces.shape[0]
+    n_chunks = -(-f // faces_per_chunk)
+    pad = n_chunks * faces_per_chunk - f
+    faces_p = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), faces.dtype)]) if pad else faces
+    face_chunks = faces_p.reshape(n_chunks, faces_per_chunk, 3)
+    chunk_valid = (jnp.arange(n_chunks * faces_per_chunk) < f).reshape(
+        n_chunks, faces_per_chunk)
+
+    coords = jnp.arange(img_wh, dtype=jnp.float32)
+    py_grid, px_grid = jnp.meshgrid(coords, coords, indexing="ij")
+    px = px_grid.reshape(-1)
+    py = py_grid.reshape(-1)
+
+    def step(carry, chunk):
+        fidx, valid = chunk
+        tri = verts2d[:, fidx]
+        ax, ay = tri[..., 0, 0], tri[..., 0, 1]
+        bx, by = tri[..., 1, 0], tri[..., 1, 1]
+        cx, cy = tri[..., 2, 0], tri[..., 2, 1]
+
+        def cross(x0, y0, x1, y1):
+            return ((x1 - x0)[..., None] * (py[None, None, :] - y0[..., None])
+                    - (y1 - y0)[..., None] * (px[None, None, :] - x0[..., None]))
+
+        c0 = cross(ax, ay, bx, by)
+        c1 = cross(bx, by, cx, cy)
+        c2 = cross(cx, cy, ax, ay)
+        inside = ((c0 >= 0) & (c1 >= 0) & (c2 >= 0)) | \
+                 ((c0 <= 0) & (c1 <= 0) & (c2 <= 0))
+        inside = inside & valid[None, :, None]
+        return carry | jnp.any(inside, axis=1), None
+
+    covered, _ = jax.lax.scan(step, jnp.zeros((b, img_wh * img_wh), bool),
+                              (face_chunks, chunk_valid))
+    return covered.reshape(b, img_wh, img_wh).astype(jnp.float32)
+
+
+def render_silhouette(vertices: jnp.ndarray,
+                      translation: jnp.ndarray,
+                      faces: jnp.ndarray,
+                      img_wh: int,
+                      focal_length: float,
+                      sigma: float = 1e-5,
+                      render_wh: int | None = None) -> jnp.ndarray:
+    """Perspective-project SMPL vertices and rasterize the soft silhouette.
+
+    Mirrors the reference NMR call
+    ``nmr(vertices, faces, t, mode='silhouettes')`` with K built from
+    ``focal_length`` and principal point at img_wh/2 (player_recon.py:1070-1080)
+    — identity camera rotation, translation from the weak-persp camera.
+
+    ``render_wh`` optionally rasterizes at a lower resolution (the loss is
+    resolution-normalised downstream); output is always (B, render_wh²).
+    """
+    render_wh = render_wh or img_wh
+    verts2d = perspective_project(vertices, None, translation,
+                                  focal_length=focal_length, img_wh=img_wh)
+    if render_wh != img_wh:
+        verts2d = verts2d * (render_wh / img_wh)
+    return soft_silhouette(verts2d, faces, render_wh, sigma=sigma)
