@@ -1,0 +1,92 @@
+"""Baseline-model evaluation harness (HMR / SPIN / PARE).
+
+Role of the reference ``hmr.py``
+(``/root/reference/Python/Soccer/PlayerReconstruction/hmr.py``): load external
+models' per-player predictions (HMR ``.npy`` [cam|pose72|shape10], SPIN/PARE
+``.npz`` {pred_rotmat, pred_betas, pred_camera} — format branches :198-231),
+run the SAME camera+global-orient optimization the pipeline applies to its own
+regressor output (``evaluate_model_2d`` :99-356), with multi-view variants
+with/without single-view init (``multi_view_optimization_multi`` :1333+),
+single-view-only (:1874+) and cross-view (:2097+) evaluations, and aggregate
+per-player ``metrics.xml`` (``calc_result`` :813).
+
+Here each variant is a thin composition over the batched fitting engine —
+the baseline import decides the FitInit, everything downstream is shared.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from soccerplayershapepose_tpu import config as cfg
+from soccerplayershapepose_tpu.fit import FitConfig, broad_view_fit
+from soccerplayershapepose_tpu.io import formats as io
+from soccerplayershapepose_tpu.ops.rotations import batch_rodrigues
+from soccerplayershapepose_tpu.smpl.assets import SMPLAssets
+
+
+def load_baseline_prediction(path: str) -> dict:
+    """Dispatch on extension: HMR .npy or SPIN/PARE .npz → canonical dict
+    {pose_rotmats (1,24,3,3), betas (1,10), cam_wp (1,3)}."""
+    if path.endswith(".npy"):
+        raw = io.read_hmr_prediction(path)
+        rotmats = np.asarray(batch_rodrigues(
+            jnp.asarray(raw["pose_axis_angle"].astype(np.float32))))
+        return {"pose_rotmats": rotmats, "betas": raw["betas"],
+                "cam_wp": raw["cam_wp"]}
+    return io.read_spin_prediction(path)
+
+
+def evaluate_baseline_2d(assets: SMPLAssets,
+                         predictions: List[dict],
+                         silhouettes: np.ndarray,
+                         joints2d: np.ndarray,
+                         fit_cfg: Optional[FitConfig] = None,
+                         optimize: bool = True) -> dict:
+    """Evaluate (and optionally cam/orient-optimize) baseline predictions
+    against proxy ground truth — the core of ``evaluate_model_2d``.
+
+    Args:
+      predictions: per-player canonical dicts (see load_baseline_prediction).
+      silhouettes: (B, wh, wh); joints2d: (B, 17, 2|3).
+
+    Returns:
+      {'init_iou', 'init_err', 'opt_iou', 'opt_err'} means + per-player lists.
+    """
+    fit_cfg = fit_cfg or FitConfig(iters=cfg.BROAD_VIEW_ITERS,
+                                   lr=cfg.BROAD_VIEW_LR)
+    pose = jnp.asarray(np.concatenate([p["pose_rotmats"] for p in predictions])
+                       .astype(np.float32))
+    betas = jnp.asarray(np.concatenate([p["betas"] for p in predictions])
+                        .astype(np.float32))
+    cam = jnp.asarray(np.concatenate([p["cam_wp"] for p in predictions])
+                      .astype(np.float32))
+
+    if optimize:
+        res = broad_view_fit(assets, pose[:, 1:], betas, pose[:, :1], cam,
+                             jnp.asarray(silhouettes), jnp.asarray(joints2d),
+                             fit_cfg)
+        return {"init_iou": np.asarray(res.init_silh_iou),
+                "init_err": np.asarray(res.init_joint_err),
+                "opt_iou": np.asarray(res.silh_iou),
+                "opt_err": np.asarray(res.joint_err),
+                "result": res}
+    from soccerplayershapepose_tpu.fit.engine import FitInit, fit_metrics
+    m = fit_metrics(assets,
+                    FitInit(body_pose=pose[:, 1:], global_orient=pose[:, :1],
+                            betas=betas, cam_wp=cam),
+                    jnp.asarray(silhouettes), jnp.asarray(joints2d), fit_cfg)
+    return {"init_iou": np.asarray(m["silh_iou"]),
+            "init_err": np.asarray(m["joint_err"]),
+            "opt_iou": np.asarray(m["silh_iou"]),
+            "opt_err": np.asarray(m["joint_err"])}
+
+
+def calc_result(result_root: str) -> Tuple[float, float, int]:
+    """Aggregate metrics.xml over a result tree (hmr.py calc_result :813)."""
+    agg = io.calc_metrics(result_root)
+    return agg["mean_silh_iou"], agg["mean_joint_err"], agg["num_players"]

@@ -42,7 +42,12 @@ class TorchPersonDetector:
                  score_thresh: float = cfg.DETECTION_SCORE_THRESH,
                  keypoints: bool = False):
         import torch
-        import torchvision
+        try:
+            import torchvision
+        except ImportError as e:   # torchvision absent in this image
+            raise ImportError(
+                "TorchPersonDetector needs torchvision; use precomputed "
+                "boxes/proxies interop (drivers.stages) instead") from e
         self._torch = torch
         if keypoints:
             self.model = torchvision.models.detection.keypointrcnn_resnet50_fpn(

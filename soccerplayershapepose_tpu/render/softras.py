@@ -80,6 +80,29 @@ def _point_triangle_coverage(px, py, tri, sigma):
     return jax.nn.sigmoid(signed / sigma)
 
 
+def cull_backfaces(verts2d: jnp.ndarray, faces: jnp.ndarray,
+                   keep_fraction: float = 0.6) -> jnp.ndarray:
+    """Per-sample face subset dropping back-facing triangles.
+
+    For a closed mesh the silhouette is the union of front faces alone, so the
+    back half of the mesh can be dropped before rasterization. Keeps the
+    ``keep_fraction``·F faces with the largest signed screen-space area
+    (static shape; any back faces that slip in are harmless duplicates of the
+    covered region).
+
+    Returns:
+      (B, K, 3) per-sample face index arrays.
+    """
+    tri = verts2d[:, faces]                                # (B, F, 3, 2)
+    ax, ay = tri[..., 0, 0], tri[..., 0, 1]
+    bx, by = tri[..., 1, 0], tri[..., 1, 1]
+    cx, cy = tri[..., 2, 0], tri[..., 2, 1]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)   # (B, F)
+    k = max(1, int(faces.shape[0] * keep_fraction))
+    _, idx = jax.lax.top_k(area, k)                        # (B, K)
+    return faces[idx]                                      # (B, K, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("img_wh", "faces_per_chunk"))
 def soft_silhouette(verts2d: jnp.ndarray,
                     faces: jnp.ndarray,
@@ -90,8 +113,9 @@ def soft_silhouette(verts2d: jnp.ndarray,
 
     Args:
       verts2d: (B, V, 2) vertex positions in pixel coordinates.
-      faces: (F, 3) int vertex indices (padded faces may repeat a vertex —
-        degenerate triangles have zero interior and negligible coverage).
+      faces: (F, 3) shared int vertex indices, or (B, F, 3) per-sample
+        (e.g. from :func:`cull_backfaces`); padded/degenerate faces have zero
+        interior and negligible coverage.
       img_wh: output resolution.
       sigma: softness in NORMALIZED units (image half-size = 1); converted to
         pixel² internally so behavior is resolution-invariant. 1e-5 ≈ sharp.
@@ -102,14 +126,23 @@ def soft_silhouette(verts2d: jnp.ndarray,
       (B, img_wh, img_wh) silhouettes in [0, 1], row-major (y, x).
     """
     b, _, _ = verts2d.shape
-    f = faces.shape[0]
+    per_sample = faces.ndim == 3
+    f = faces.shape[1] if per_sample else faces.shape[0]
     sigma_px = sigma * (img_wh / 2.0) ** 2
 
     n_chunks = -(-f // faces_per_chunk)
     pad = n_chunks * faces_per_chunk - f
-    faces_p = jnp.concatenate(
-        [faces, jnp.zeros((pad, 3), faces.dtype)]) if pad else faces
-    face_chunks = faces_p.reshape(n_chunks, faces_per_chunk, 3)
+    if per_sample:
+        faces_p = jnp.concatenate(
+            [faces, jnp.zeros((b, pad, 3), faces.dtype)], axis=1) \
+            if pad else faces
+        # scan axis first: (n_chunks, B, c, 3)
+        face_chunks = jnp.moveaxis(
+            faces_p.reshape(b, n_chunks, faces_per_chunk, 3), 1, 0)
+    else:
+        faces_p = jnp.concatenate(
+            [faces, jnp.zeros((pad, 3), faces.dtype)]) if pad else faces
+        face_chunks = faces_p.reshape(n_chunks, faces_per_chunk, 3)
     chunk_valid = (jnp.arange(n_chunks * faces_per_chunk) < f).reshape(
         n_chunks, faces_per_chunk)
 
@@ -120,7 +153,12 @@ def soft_silhouette(verts2d: jnp.ndarray,
 
     def step(carry, chunk):
         fidx, valid = chunk
-        tri = verts2d[:, fidx]                             # (B, c, 3, 2)
+        if per_sample:
+            tri = jnp.take_along_axis(
+                verts2d, fidx.reshape(b, -1)[..., None], axis=1
+            ).reshape(b, faces_per_chunk, 3, 2)
+        else:
+            tri = verts2d[:, fidx]                         # (B, c, 3, 2)
         d = _point_triangle_coverage(px, py, tri, sigma_px)
         d = jnp.where(valid[None, :, None], d, 0.0)
         d = jnp.minimum(d, 1.0 - 1e-7)
@@ -181,7 +219,8 @@ def render_silhouette(vertices: jnp.ndarray,
                       img_wh: int,
                       focal_length: float,
                       sigma: float = 1e-5,
-                      render_wh: int | None = None) -> jnp.ndarray:
+                      render_wh: int | None = None,
+                      backface_cull: bool = False) -> jnp.ndarray:
     """Perspective-project SMPL vertices and rasterize the soft silhouette.
 
     Mirrors the reference NMR call
@@ -197,4 +236,6 @@ def render_silhouette(vertices: jnp.ndarray,
                                   focal_length=focal_length, img_wh=img_wh)
     if render_wh != img_wh:
         verts2d = verts2d * (render_wh / img_wh)
+    if backface_cull:
+        faces = cull_backfaces(verts2d, faces)
     return soft_silhouette(verts2d, faces, render_wh, sigma=sigma)

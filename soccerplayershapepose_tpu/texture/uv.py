@@ -148,24 +148,39 @@ def atlas_to_normal(atlas: jnp.ndarray, normal_res: int = 512,
 def normal_to_atlas(normal: jnp.ndarray, part_res: int = PART_RES,
                     mapping_pickle: Optional[str] = None) -> jnp.ndarray:
     """Normal UV map → 24-part atlas (Normal2Atlas.convert,
-    Normal2Atlas.py:24-109) via scatter-mean over the same mapping."""
+    Normal2Atlas.py:24-109).
+
+    With a reference mapping pickle: scatter-mean over its (normal-texel →
+    atlas-texel) relation. Procedurally: a direct gather (each atlas texel
+    samples its tile location in the normal map) so every texel is covered —
+    a scatter inversion of the tiling would leave undersampled columns empty.
+    """
     res = normal.shape[0]
     if mapping_pickle:
         with open(mapping_pickle, "rb") as f:
             mapping = pickle.load(f)
-        part = np.asarray(mapping["part"])
-        wy = np.asarray(mapping["y"])
-        wx = np.asarray(mapping["x"])
-    else:
-        part, wy, wx = _procedural_mapping(res, part_res)
-    flat = (jnp.asarray(part) * part_res + jnp.asarray(wy)) * part_res \
-        + jnp.asarray(wx)
-    n = NUM_PARTS * part_res * part_res
-    total = jnp.zeros((n, normal.shape[-1])).at[flat.reshape(-1)].add(
-        normal.reshape(-1, normal.shape[-1]))
-    cnt = jnp.zeros((n,)).at[flat.reshape(-1)].add(1.0)
-    return (total / jnp.maximum(cnt[:, None], 1.0)).reshape(
-        NUM_PARTS, part_res, part_res, normal.shape[-1])
+        part = jnp.asarray(np.asarray(mapping["part"]))
+        wy = jnp.asarray(np.asarray(mapping["y"]))
+        wx = jnp.asarray(np.asarray(mapping["x"]))
+        flat = (part * part_res + wy) * part_res + wx
+        n = NUM_PARTS * part_res * part_res
+        total = jnp.zeros((n, normal.shape[-1])).at[flat.reshape(-1)].add(
+            normal.reshape(-1, normal.shape[-1]))
+        cnt = jnp.zeros((n,)).at[flat.reshape(-1)].add(1.0)
+        return (total / jnp.maximum(cnt[:, None], 1.0)).reshape(
+            NUM_PARTS, part_res, part_res, normal.shape[-1])
+
+    tile_h = res // GRID_ROWS
+    tile_w = res // GRID_COLS
+    pi = np.arange(NUM_PARTS)
+    rows = (pi // GRID_COLS)[:, None, None]
+    cols = (pi % GRID_COLS)[:, None, None]
+    ii = np.arange(part_res)[None, :, None]
+    jj = np.arange(part_res)[None, None, :]
+    ny = rows * tile_h + np.round(ii * (tile_h - 1) / (part_res - 1)).astype(np.int64)
+    nx = cols * tile_w + np.round(jj * (tile_w - 1) / (part_res - 1)).astype(np.int64)
+    ny, nx = np.broadcast_arrays(ny, nx)
+    return normal[jnp.asarray(ny), jnp.asarray(nx)]
 
 
 def sample_uv_texture(texture: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:

@@ -7,6 +7,7 @@ import pytest
 
 from soccerplayershapepose_tpu.render import (
     soft_silhouette, hard_silhouette, render_silhouette)
+from soccerplayershapepose_tpu.render.softras import cull_backfaces
 
 
 def _square_mesh(lo, hi):
@@ -95,3 +96,19 @@ def test_render_silhouette_smpl_mesh():
     assert 0.05 < frac < 0.8, frac
     ys, xs = np.nonzero(sil[0] > 0.5)
     assert abs(xs.mean() - 64) < 15 and abs(ys.mean() - 64) < 15
+
+
+def test_backface_cull_preserves_silhouette():
+    """Closed-mesh silhouette is unchanged when back faces are dropped."""
+    from soccerplayershapepose_tpu.smpl import synthesize_assets
+    assets = synthesize_assets()
+    verts = np.asarray(assets.v_template)[None]
+    # orthographic-ish projection to a 64px frame
+    v2d = jnp.asarray((verts[..., :2] * 28 / np.abs(verts[..., :2]).max()
+                       + 32).astype(np.float32))
+    full = np.asarray(soft_silhouette(v2d, assets.faces, 64, sigma=1e-6))
+    culled_faces = cull_backfaces(v2d, assets.faces, keep_fraction=0.6)
+    assert culled_faces.shape == (1, int(13776 * 0.6), 3)
+    culled = np.asarray(soft_silhouette(v2d, culled_faces, 64, sigma=1e-6))
+    agree = (full > 0.5) == (culled > 0.5)
+    assert agree.mean() > 0.995, agree.mean()

@@ -61,13 +61,16 @@ def test_atlas_grid_roundtrip():
 
 
 def test_atlas_normal_roundtrip_procedural():
-    rng = np.random.RandomState(1)
-    atlas = jnp.asarray(rng.rand(24, 50, 50, 3).astype(np.float32))
+    # smooth per-part gradients: the tiling map resamples, so the roundtrip
+    # can only be accurate for band-limited content (random texels would be
+    # unrecoverable wherever the 60x40 tile undersamples the 50x50 part)
+    u = np.linspace(0, 1, 50, dtype=np.float32)
+    grad = np.stack(np.meshgrid(u, u, indexing="ij") + (np.outer(u, u),), -1)
+    atlas = jnp.asarray(np.stack([grad * (0.3 + 0.02 * i) for i in range(24)]))
     normal = atlas_to_normal(atlas, normal_res=240)
     assert normal.shape == (240, 240, 3)
     back = normal_to_atlas(normal, part_res=50)
-    # scatter-mean inverse: not exact (downsampling), but close on average
-    assert float(jnp.abs(back - atlas).mean()) < 0.08
+    assert float(jnp.abs(back - atlas).mean()) < 0.02
 
 
 def test_sample_uv_texture_bilinear():
