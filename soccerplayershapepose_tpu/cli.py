@@ -1,0 +1,167 @@
+"""Command-line interface for the pipeline stages.
+
+The reference has no CLI — stages are selected by editing comment blocks at
+module bottom (player_recon.py:2500-2551). This exposes each stage driver as a
+subcommand over the same folder-tree dataplane:
+
+    python -m soccerplayershapepose_tpu predict --proxy-root ... --image-root ...
+    python -m soccerplayershapepose_tpu single-view --image-root ... ...
+    python -m soccerplayershapepose_tpu multi-view ...
+    python -m soccerplayershapepose_tpu broad-view ...
+    python -m soccerplayershapepose_tpu calc-metrics --root ...
+    python -m soccerplayershapepose_tpu train --image-root ... --target-root ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_fit_args(p: argparse.ArgumentParser):
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--no-silhouette", action="store_true",
+                   help="joints-only loss (faster; reference uses both)")
+    p.add_argument("--render-wh", type=int, default=None,
+                   help="silhouette render resolution (default: proxy 512)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--smpl-dir", default=None,
+                   help="SMPL asset dir (synthetic model if absent)")
+    p.add_argument("--checkpoint", default=None,
+                   help="reference straps .tar checkpoint to import")
+
+
+def _build_fit_cfg(args, default_iters, default_lr):
+    from soccerplayershapepose_tpu.fit import FitConfig
+    kw = {}
+    kw["iters"] = args.iters if args.iters is not None else default_iters
+    kw["lr"] = args.lr if args.lr is not None else default_lr
+    if args.no_silhouette:
+        kw["use_silhouette"] = False
+        kw["silhouette_metrics"] = False
+    if args.render_wh:
+        kw["render_wh"] = args.render_wh
+    return FitConfig(**kw)
+
+
+def _load_runtime(args):
+    from soccerplayershapepose_tpu.pipeline.predict import build_predictor
+    from soccerplayershapepose_tpu.smpl import load_assets
+    assets = load_assets(model_dir=args.smpl_dir)
+    regressor, params, fn = build_predictor()
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        from soccerplayershapepose_tpu.io.torch_import import (
+            load_straps_checkpoint)
+        params = load_straps_checkpoint(args.checkpoint)
+    return assets, params, fn
+
+
+def main(argv=None) -> int:
+    from soccerplayershapepose_tpu import config as cfg
+
+    parser = argparse.ArgumentParser(prog="soccerplayershapepose_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name in ("predict", "single-view", "broad-view"):
+        p = sub.add_parser(name)
+        p.add_argument("--image-root", required=True)
+        p.add_argument("--proxy-root", required=True)
+        p.add_argument("--result-root", required=True)
+        if name == "broad-view":
+            p.add_argument("--multi-view-root", required=True)
+            p.add_argument("--is-refine", action="store_true")
+        if name == "single-view":
+            p.add_argument("--is-refine", action="store_true")
+            p.add_argument("--mul-folder", default=None)
+            p.add_argument("--skip-existing", action="store_true")
+        _add_fit_args(p)
+
+    p = sub.add_parser("multi-view")
+    p.add_argument("--image-root", required=True)
+    p.add_argument("--proxy-root", required=True)
+    p.add_argument("--single-view-root", required=True)
+    p.add_argument("--result-root", required=True)
+    _add_fit_args(p)
+
+    p = sub.add_parser("calc-metrics")
+    p.add_argument("--root", required=True)
+    p.add_argument("--score-thresh", type=float,
+                   default=cfg.REFINE_SCORE_THRESH)
+
+    p = sub.add_parser("train")
+    p.add_argument("--image-root", required=True)
+    p.add_argument("--proxy-root", required=True)
+    p.add_argument("--target-root", required=True)
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--train-set", default=None,
+                   help="train_set.xml game split file")
+    p.add_argument("--epochs", type=int, default=cfg.REGRESSOR_TRAIN_EPOCHS)
+    p.add_argument("--lr", type=float, default=cfg.REGRESSOR_TRAIN_LR)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--smpl-dir", default=None)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "calc-metrics":
+        from soccerplayershapepose_tpu.io import calc_metrics
+        print(json.dumps(calc_metrics(args.root, args.score_thresh)))
+        return 0
+
+    if args.command == "train":
+        from soccerplayershapepose_tpu.drivers.training import (
+            read_train_split, train_regressor)
+        from soccerplayershapepose_tpu.smpl import load_assets
+        assets = load_assets(model_dir=args.smpl_dir)
+        split = read_train_split(args.train_set) if args.train_set else None
+        out = train_regressor(assets, args.image_root, args.proxy_root,
+                              args.target_root, args.checkpoint_dir,
+                              train_games=split, epochs=args.epochs,
+                              learning_rate=args.lr, resume=args.resume)
+        print(json.dumps({"best_epoch": out["best_epoch"],
+                          "best_val": {k: float(v)
+                                       for k, v in out["best_val"].items()}}))
+        return 0
+
+    assets, params, fn = _load_runtime(args)
+    from soccerplayershapepose_tpu.drivers import (
+        broad_view_optimization, multi_view_optimization, predict_stage,
+        single_view_optimization)
+
+    if args.command == "predict":
+        n = predict_stage(assets, args.proxy_root, args.image_root,
+                          args.result_root, params=params, regressor_fn=fn,
+                          batch_size=args.batch_size)
+        print(json.dumps({"views": n}))
+    elif args.command == "single-view":
+        out = single_view_optimization(
+            assets, args.image_root, args.proxy_root, args.result_root,
+            params=params, regressor_fn=fn,
+            fit_cfg=_build_fit_cfg(args, cfg.SINGLE_VIEW_ITERS,
+                                   cfg.FITTING_LR),
+            batch_size=args.batch_size, is_refine=args.is_refine,
+            mul_folder=args.mul_folder, skip_existing=args.skip_existing)
+        print(json.dumps(out))
+    elif args.command == "multi-view":
+        out = multi_view_optimization(
+            assets, args.image_root, args.proxy_root, args.single_view_root,
+            args.result_root,
+            fit_cfg=_build_fit_cfg(args, cfg.MULTI_VIEW_ITERS,
+                                   cfg.FITTING_LR),
+            batch_size=max(1, args.batch_size // 4))
+        print(json.dumps(out))
+    elif args.command == "broad-view":
+        out = broad_view_optimization(
+            assets, args.image_root, args.proxy_root, args.multi_view_root,
+            args.result_root, params=params, regressor_fn=fn,
+            fit_cfg=_build_fit_cfg(args, cfg.BROAD_VIEW_ITERS,
+                                   cfg.BROAD_VIEW_LR),
+            batch_size=args.batch_size, is_refine=args.is_refine)
+        print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,12 +51,17 @@ def load_proxy_batch(proxy_dir: str, view_names: Iterable[str]
 
 def _gather_views(image_root: str, proxy_root: str,
                   ignore_first: bool = True,
-                  refine_filter: Optional[Callable[[io.PlayerTree], bool]] = None
+                  refine_filter: Optional[Callable[[io.PlayerTree], bool]] = None,
+                  skip_existing_root: Optional[str] = None,
+                  skip_existing_name: Optional[str] = None
                   ) -> List[Tuple[io.PlayerTree, str]]:
     """All (player, view) pairs with available proxies.
 
     ``ignore_first`` skips player id '1' like the reference single-view driver
-    (player_recon.py:1124-1125, the camera-man crop).
+    (player_recon.py:1124-1125, the camera-man crop). ``skip_existing_root``
+    makes the stage resumable at player-view granularity (the reference skips
+    already-processed games via existence checks, player_recon.py:1101-1102;
+    per-view is strictly finer-grained).
     """
     out = []
     for node in io.walk_player_tree(image_root):
@@ -67,9 +72,17 @@ def _gather_views(image_root: str, proxy_root: str,
         proxy_dir = os.path.join(proxy_root, node.game, node.scene, node.player)
         for view in node.views:
             stem = os.path.join(proxy_dir, os.path.splitext(view)[0])
-            if os.path.exists(stem + "_sil.npy") and \
-                    os.path.exists(stem + "_j2d.xml"):
-                out.append((node, view))
+            if not (os.path.exists(stem + "_sil.npy")
+                    and os.path.exists(stem + "_j2d.xml")):
+                continue
+            if skip_existing_root is not None:
+                done = os.path.join(
+                    skip_existing_root, node.game, node.scene, node.player,
+                    skip_existing_name or
+                    (os.path.splitext(view)[0] + ".npz"))
+                if os.path.exists(done):
+                    continue
+            out.append((node, view))
     return out
 
 
@@ -153,17 +166,21 @@ def single_view_optimization(assets: SMPLAssets, image_root: str,
                              score_thresh: float = cfg.REFINE_SCORE_THRESH,
                              mul_folder: Optional[str] = None,
                              ignore_first: bool = True,
+                             skip_existing: bool = False,
                              verbose: bool = True) -> dict:
     """Batched single-view fitting over the player tree; writes per-view
     ``.npz`` results and returns the init/opt metric means the reference
-    prints (player_recon.py:1305-1307)."""
+    prints (player_recon.py:1305-1307). ``skip_existing`` resumes an
+    interrupted run at player-view granularity."""
     fit_cfg = fit_cfg or FitConfig()
     if regressor_fn is None:
         _, params, regressor_fn = build_predictor()
 
     refine_filter = _refine_gate(mul_folder, score_thresh) \
         if (is_refine and mul_folder) else None
-    pairs = _gather_views(image_root, proxy_root, ignore_first, refine_filter)
+    pairs = _gather_views(image_root, proxy_root, ignore_first, refine_filter,
+                          skip_existing_root=result_root if skip_existing
+                          else None)
 
     sums = {"init_iou": 0.0, "init_err": 0.0, "opt_iou": 0.0, "opt_err": 0.0}
     count = 0

@@ -241,3 +241,111 @@ def evaluate_model(assets: SMPLAssets, image_root: str, proxy_root: str,
 
     return {m: (totals[m] / (n_total * divisor(m)) if n_total else np.nan)
             for m in totals} | {"num_players": n_total}
+
+
+def evaluate_model_relate(assets: SMPLAssets, image_root: str,
+                          proxy_root: str, target_root: str, state,
+                          relation_params=None, boxes_root: str = None,
+                          optimize_cam: bool = False,
+                          in_channels: int = 18,
+                          relation_kwargs: Optional[dict] = None,
+                          max_players: int = cfg.MAX_PLAYERS_PER_FRAME) -> dict:
+    """Relation-module evaluation (PyTorch3DTest.evaluate_model_relate
+    :1501-1860): run the regressor per scene, refine the batch's pose rotmats
+    with the bbox-geometry PoseRelationModule (:1747-1756), optionally
+    re-optimize [cam, orient] per player with the 50-iter joints2D-only Adam
+    of ``optimize_camera`` (:3055-3139), then report the PVE/MPJPE family.
+
+    Boxes come from ``<boxes_root>/<game>/<scene>/boxes.xml`` with player
+    folder names indexing ``index.xml``; without a boxes tree, unit boxes at
+    the origin are used (geometry gate becomes uninformative but shapes hold).
+    """
+    import flax.linen  # noqa: F401  (ensures flax import errors surface here)
+    from soccerplayershapepose_tpu.fit import FitConfig, broad_view_fit
+    from soccerplayershapepose_tpu.models.ief import default_initial_params
+    from soccerplayershapepose_tpu.models.relation import PoseRelationModule
+    from soccerplayershapepose_tpu.ops.rotations import rot6d_to_rotmat
+    from soccerplayershapepose_tpu.smpl.model import smpl_forward, smpl_shape_only
+
+    regressor = SingleInputRegressor(in_channels=in_channels)
+    relation = PoseRelationModule(**(relation_kwargs or {}))
+    batches = gather_scene_batches(image_root, proxy_root, target_root,
+                                   max_players)
+
+    if relation_params is None:
+        rng = jax.random.PRNGKey(0)
+        relation_params = relation.init(
+            rng, jnp.zeros((1, max_players, 24, 3, 3)),
+            jnp.zeros((1, max_players, 4)),
+            jnp.ones((1, max_players), bool))
+
+    def load_boxes(game, scene, n):
+        if boxes_root:
+            path = os.path.join(boxes_root, game, scene, "boxes.xml")
+            if os.path.exists(path):
+                boxes = io.read_boxes(path)[:n].astype(np.float32)
+                if len(boxes) < n:
+                    boxes = np.concatenate(
+                        [boxes, np.tile([[0, 0, 1, 1]], (n - len(boxes), 1))])
+                return boxes
+        return np.tile(np.array([[0, 0, 1, 1]], np.float32), (max_players, 1))
+
+    @jax.jit
+    def forward(params, batch_stats, rel_params, assets, proxy, boxes, mask):
+        variables = {"params": params, "batch_stats": batch_stats}
+        init = default_initial_params(assets.mean_pose_rot6d,
+                                      assets.mean_shape)
+        cam_wp, pose6d, betas = regressor.apply(variables, proxy, init)
+        rotmats = rot6d_to_rotmat(pose6d.reshape(-1, cfg.NUM_JOINTS, 6))
+        refined = relation.apply(rel_params, rotmats[None], boxes[None],
+                                 mask[None].astype(bool))[0]
+        return cam_wp, refined, betas
+
+    totals = {m: 0.0 for m in TRACKED_METRICS}
+    n_total = 0
+    fit_cfg = FitConfig(iters=50, lr=0.01, use_silhouette=False,
+                        silhouette_metrics=False)
+    for b in batches:
+        db = _device_batch(b)
+        boxes = jnp.asarray(load_boxes(b["game"], b["scene"], max_players))
+        cam_wp, rotmats, betas = forward(state.params, state.batch_stats,
+                                         relation_params, assets,
+                                         db["proxy"], boxes, db["mask"])
+        if optimize_cam:
+            res = broad_view_fit(assets, rotmats[:, 1:], betas,
+                                 rotmats[:, :1], cam_wp,
+                                 jnp.zeros(rotmats.shape[:1] + (512, 512)),
+                                 db["joints2d"], fit_cfg,
+                                 mask=db["mask"])
+            rotmats = jnp.concatenate([res.global_orient, res.body_pose],
+                                      axis=1)
+            cam_wp = res.cam_wp
+
+        pred = smpl_forward(assets, betas, rotmats[:, 1:], rotmats[:, :1])
+        target = smpl_forward(assets, db["target_betas"],
+                              db["target_pose"][:, 1:],
+                              db["target_pose"][:, :1])
+        aux = {"pred": {"verts": pred.vertices, "joints3D": pred.joints,
+                        "betas": betas, "pose_rotmats": rotmats,
+                        "reposed_verts": smpl_shape_only(assets, betas)},
+               "target": {"verts": target.vertices,
+                          "joints3D": target.joints,
+                          "betas": db["target_betas"],
+                          "pose_rotmats": db["target_pose"],
+                          "reposed_verts": smpl_shape_only(
+                              assets, db["target_betas"])}}
+        sums = _metric_sums(aux, b["mask"])
+        for k, v in sums.items():
+            totals[k] = totals.get(k, 0.0) + v
+        n_total += b["num_real"]
+
+    per_sample = {"pve": 6890, "mpjpe": 14, "pose_mse": 216, "shape_mse": 10}
+
+    def divisor(metric):
+        for key, n in per_sample.items():
+            if key in metric.replace("-", "_"):
+                return n
+        return 1
+
+    return {m: (totals[m] / (n_total * divisor(m)) if n_total else np.nan)
+            for m in totals} | {"num_players": n_total}

@@ -1,0 +1,147 @@
+"""Z-buffered attribute rasterization (textured / part-segmentation renders).
+
+Roles of the reference NMR modes beyond silhouettes
+(``/root/reference/Python/Soccer/PlayerReconstruction/renderers/nmr_renderer.py``):
+* 6-part body segmentation via vertex textures + cube-parts lookup
+  (``get_parts`` :154-162, ``forward`` seg branch :89-104),
+* UV-textured mesh rendering (``render_texture`` :139-152 — grid_sample of a
+  normal UV map into per-face texture cubes).
+
+Here both are one primitive: rasterize per-vertex attributes with a z-buffer —
+for each pixel keep the nearest covering face and barycentrically interpolate
+its vertex attributes. Segmentation renders pass one-hot part attributes;
+textured renders pass per-vertex UVs and then sample the UV map
+(``texture.sample_uv_texture``). Pure XLA ``lax.scan`` over face chunks
+(same chunking scheme as the silhouette rasterizer); not differentiable
+(vis/eval path only — the reference's too).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("img_wh", "faces_per_chunk"))
+def rasterize_attributes(verts2d: jnp.ndarray,
+                         verts_z: jnp.ndarray,
+                         vert_attrs: jnp.ndarray,
+                         faces: jnp.ndarray,
+                         img_wh: int,
+                         faces_per_chunk: int = 86):
+    """Nearest-face barycentric attribute rasterization.
+
+    Args:
+      verts2d: (B, V, 2) pixel coordinates.
+      verts_z: (B, V) camera-space depth (smaller = nearer).
+      vert_attrs: (B, V, A) per-vertex attributes to interpolate.
+      faces: (F, 3).
+      img_wh: output resolution.
+
+    Returns:
+      (attrs (B, img_wh, img_wh, A), mask (B, img_wh, img_wh) bool).
+    """
+    b, _, _ = verts2d.shape
+    a = vert_attrs.shape[-1]
+    f = faces.shape[0]
+    p = img_wh * img_wh
+
+    n_chunks = -(-f // faces_per_chunk)
+    pad = n_chunks * faces_per_chunk - f
+    faces_p = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), faces.dtype)]) if pad else faces
+    face_chunks = faces_p.reshape(n_chunks, faces_per_chunk, 3)
+    chunk_valid = (jnp.arange(n_chunks * faces_per_chunk) < f).reshape(
+        n_chunks, faces_per_chunk)
+
+    coords = jnp.arange(img_wh, dtype=jnp.float32)
+    py_g, px_g = jnp.meshgrid(coords, coords, indexing="ij")
+    px = px_g.reshape(-1)
+    py = py_g.reshape(-1)
+
+    def step(carry, chunk):
+        best_z, best_attr = carry
+        fidx, valid = chunk
+        tri = verts2d[:, fidx]                              # (B, c, 3, 2)
+        tz = verts_z[:, fidx]                               # (B, c, 3)
+        tattr = vert_attrs[:, fidx]                         # (B, c, 3, A)
+
+        x0, y0 = tri[..., 0, 0], tri[..., 0, 1]
+        x1, y1 = tri[..., 1, 0], tri[..., 1, 1]
+        x2, y2 = tri[..., 2, 0], tri[..., 2, 1]
+
+        def edge(xa, ya, xb, yb):
+            return ((xb - xa)[..., None] * (py[None, None] - ya[..., None])
+                    - (yb - ya)[..., None] * (px[None, None] - xa[..., None]))
+
+        e0 = edge(x1, y1, x2, y2)        # opposite vertex 0
+        e1 = edge(x2, y2, x0, y0)        # opposite vertex 1
+        e2 = edge(x0, y0, x1, y1)        # opposite vertex 2
+        area = e0 + e1 + e2              # (B, c, P) — twice signed area
+        inside = (((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) |
+                  ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))) \
+            & (jnp.abs(area) > 1e-9) & valid[None, :, None]
+
+        inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-9, area, 1.0)
+        w0 = e0 * inv_area
+        w1 = e1 * inv_area
+        w2 = e2 * inv_area
+        z = (w0 * tz[..., 0, None] + w1 * tz[..., 1, None]
+             + w2 * tz[..., 2, None])
+        z = jnp.where(inside, z, jnp.inf)                  # (B, c, P)
+
+        # nearest face within the chunk, then merge with the carry
+        zmin = jnp.min(z, axis=1)                          # (B, P)
+        sel = jnp.argmin(z, axis=1)                        # (B, P)
+
+        w_sel = jnp.stack([
+            jnp.take_along_axis(w0, sel[:, None, :], axis=1)[:, 0],
+            jnp.take_along_axis(w1, sel[:, None, :], axis=1)[:, 0],
+            jnp.take_along_axis(w2, sel[:, None, :], axis=1)[:, 0],
+        ], axis=-1)                                        # (B, P, 3)
+        attr_sel = jnp.take_along_axis(
+            tattr, sel[:, :, None, None], axis=1)          # (B, P, 3, A)
+        interp = jnp.einsum("bpk,bpka->bpa", w_sel, attr_sel)
+
+        better = zmin < best_z
+        new_z = jnp.where(better, zmin, best_z)
+        new_attr = jnp.where(better[..., None], interp, best_attr)
+        return (new_z, new_attr), None
+
+    init = (jnp.full((b, p), jnp.inf),
+            jnp.zeros((b, p, a), vert_attrs.dtype))
+    (best_z, best_attr), _ = jax.lax.scan(step, init,
+                                          (face_chunks, chunk_valid))
+    mask = jnp.isfinite(best_z).reshape(b, img_wh, img_wh)
+    return (best_attr.reshape(b, img_wh, img_wh, a), mask)
+
+
+def render_part_segmentation(verts2d, verts_z, vertex_parts, faces, img_wh,
+                             num_parts: int = 7):
+    """6-part LSP body segmentation render (background = 0).
+
+    ``vertex_parts``: (V,) int part id per vertex (the cube-parts lookup role).
+    """
+    b = verts2d.shape[0]
+    onehot = jax.nn.one_hot(vertex_parts, num_parts)       # (V, parts)
+    attrs = jnp.broadcast_to(onehot[None], (b,) + onehot.shape)
+    out, mask = rasterize_attributes(verts2d, verts_z, attrs, faces, img_wh)
+    labels = jnp.argmax(out, axis=-1)
+    return jnp.where(mask, labels, 0)
+
+
+def render_textured(verts2d, verts_z, vertex_uv, faces, texture, img_wh):
+    """UV-textured render: interpolate per-vertex UVs, sample the normal map.
+
+    ``vertex_uv``: (V, 2) in [0, 1]; ``texture``: (H, W, 3).
+    Returns (image (B, wh, wh, 3), mask (B, wh, wh)).
+    """
+    from soccerplayershapepose_tpu.texture.uv import sample_uv_texture
+    b = verts2d.shape[0]
+    attrs = jnp.broadcast_to(vertex_uv[None], (b,) + vertex_uv.shape)
+    uv, mask = rasterize_attributes(verts2d, verts_z, attrs, faces, img_wh)
+    img = sample_uv_texture(texture, uv.reshape(-1, 2)).reshape(
+        b, img_wh, img_wh, -1)
+    return img * mask[..., None], mask
