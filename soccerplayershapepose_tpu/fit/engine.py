@@ -59,6 +59,8 @@ class FitConfig:
     # silhouette loss is off; set False to skip the render entirely
     # (joints-only fitting — large speedup, metrics report 0).
     silhouette_metrics: bool = True
+    # Pallas fwd+bwd rasterizer kernels (TPU only; ~8x forward speedup).
+    use_pallas: bool = False
 
 
 class FitInit(NamedTuple):
@@ -108,7 +110,8 @@ def evaluate_fit(assets: SMPLAssets, body_pose, global_orient, betas, cam_wp,
         pred_sil = render_silhouette(out.vertices, translation, assets.faces,
                                      fit_cfg.proxy_wh, fit_cfg.focal_length,
                                      sigma=fit_cfg.sigma,
-                                     render_wh=fit_cfg.render_wh)
+                                     render_wh=fit_cfg.render_wh,
+                                     use_pallas=fit_cfg.use_pallas)
         target_sil = target_silhouette
         if fit_cfg.render_wh != target_silhouette.shape[-1]:
             step = target_silhouette.shape[-1] // fit_cfg.render_wh

@@ -158,30 +158,191 @@ def soft_silhouette_pallas(verts2d: jnp.ndarray,
     return out[:, :img_wh]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def soft_silhouette_fast(verts2d, faces, img_wh, sigma=1e-5):
-    """Pallas forward + XLA-derived backward.
+def _sorted_tri_and_ranges(verts2d, faces, chunk):
+    """Shared fwd/bwd preprocessing: y-sorted padded tri + chunk y-ranges."""
+    b = verts2d.shape[0]
+    f = faces.shape[0]
+    tri = verts2d[:, faces].reshape(b, f, 6)
+    order = jnp.argsort(jnp.min(tri[..., 1::2], axis=-1), axis=-1)
+    tri = jnp.take_along_axis(tri, order[..., None], axis=1)
+    n_chunks = -(-f // chunk)
+    pad = n_chunks * chunk - f
+    if pad:
+        tri = jnp.concatenate(
+            [tri, jnp.full((b, pad, 6), -1e9, tri.dtype)], axis=1)
+    ys = tri[..., 1::2]
+    cymin = jnp.min(ys.reshape(b, n_chunks, chunk, 3), axis=(2, 3))
+    cymax = jnp.max(ys.reshape(b, n_chunks, chunk, 3), axis=(2, 3))
+    cymin_i = jnp.floor(cymin).astype(jnp.int32)
+    cymax_i = jnp.ceil(jnp.where(cymax < -1e8, -1e9, cymax)).astype(jnp.int32)
+    return tri, order, cymin_i, cymax_i, n_chunks
 
-    Forward renders run ~8x faster than the XLA path (measured on v5e at
-    512², B=8); when differentiated, the backward recomputes the forward in
-    XLA to reuse its autodiff (so loss paths pay XLA-fwd+bwd — a fused Pallas
-    backward kernel is the planned follow-up). Use directly wherever the
-    render is NOT differentiated (metrics, vis, hard silhouettes).
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def soft_silhouette_fast(verts2d, faces, img_wh, sigma=1e-5, band_h=32,
+                         chunk=8, interpret=False):
+    """Fully Pallas-accelerated soft silhouette (forward AND backward).
+
+    Forward: the banded face-skipping kernel (~8x over XLA on v5e at 512²).
+    Backward: a matching band kernel accumulating dL/dtri with the same
+    chunk-skip pruning (dL/ds = g·(1−S)·D/σ; envelope theorem on the clamped
+    point-segment projection), scattered to vertex gradients outside.
     """
-    return soft_silhouette_pallas(verts2d, faces, img_wh, sigma=sigma)
+    return soft_silhouette_pallas(verts2d, faces, img_wh, sigma=sigma,
+                                  band_h=band_h, chunk=chunk,
+                                  interpret=interpret)
 
 
-def _fast_fwd(verts2d, faces, img_wh, sigma):
-    return soft_silhouette_pallas(verts2d, faces, img_wh, sigma=sigma), \
-        (verts2d, faces)
+def _fast_fwd(verts2d, faces, img_wh, sigma, band_h, chunk, interpret):
+    s = soft_silhouette_pallas(verts2d, faces, img_wh, sigma=sigma,
+                               band_h=band_h, chunk=chunk,
+                               interpret=interpret)
+    return s, (verts2d, faces, s)
 
 
-def _fast_bwd(img_wh, sigma, res, g):
-    from soccerplayershapepose_tpu.render.softras import soft_silhouette
-    verts2d, faces = res
-    _, vjp = jax.vjp(
-        lambda v: soft_silhouette(v, faces, img_wh, sigma=sigma), verts2d)
-    return (vjp(g)[0], None)
+def _fast_bwd(img_wh, sigma, band_h, chunk, interpret, res, g):
+    verts2d, faces, s = res
+    b, v, _ = verts2d.shape
+    f = faces.shape[0]
+    sigma_px = float(sigma) * (img_wh / 2.0) ** 2
+    margin = (20.0 * sigma_px) ** 0.5 + 2.0
+
+    tri, order, cymin_i, cymax_i, n_chunks = _sorted_tri_and_ranges(
+        verts2d, faces, chunk)
+
+    gs = (g * (1.0 - s)).astype(jnp.float32)              # dL/dA per pixel
+    n_bands = -(-img_wh // band_h)
+    pad_rows = n_bands * band_h - img_wh
+    if pad_rows:
+        gs = jnp.concatenate(
+            [gs, jnp.zeros((b, pad_rows, img_wh), jnp.float32)], axis=1)
+
+    kernel = functools.partial(
+        _band_bwd_kernel, n_chunks=n_chunks, chunk=chunk, band_h=band_h,
+        img_wh=img_wh, sigma_px=sigma_px, margin=margin)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_bands),
+        in_specs=[pl.BlockSpec((1, n_chunks * chunk, 6),
+                               lambda bi, band, *_: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, band_h, img_wh),
+                               lambda bi, band, *_: (bi, band, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, n_chunks * chunk, 6),
+                               lambda bi, band, *_: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    dtri_sorted = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks * chunk, 6), jnp.float32),
+        interpret=interpret,
+    )(cymin_i, cymax_i, tri, gs)
+
+    # un-sort and scatter edge-endpoint grads onto vertices
+    inv = jnp.argsort(order, axis=-1)
+    dtri = jnp.take_along_axis(dtri_sorted[:, :f], inv[..., None], axis=1)
+    dverts = jnp.zeros((b, v, 2), jnp.float32).at[:, faces].add(
+        dtri.reshape(b, f, 3, 2))
+    return (dverts, None)
 
 
 soft_silhouette_fast.defvjp(_fast_fwd, _fast_bwd)
+
+
+def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
+                     n_chunks: int, chunk: int, band_h: int, img_wh: int,
+                     sigma_px: float, margin: float):
+    """Backward band kernel: accumulate dL/dtri over this band's pixels.
+
+    gs_ref carries g·(1−S) per pixel (dL/d log-miss-sum). Per (face, pixel):
+    dL/ds = g(1−S)·D/σ with s = sign·d²_min; the min edge's endpoints get
+    (envelope theorem) dd²/da = −2r(1−t), dd²/db = −2rt. The dtri output
+    block is shared by all bands of a sample (sequential grid) and
+    accumulated in place.
+    """
+    bi = pl.program_id(0)
+    band = pl.program_id(1)
+    y0 = (band * band_h).astype(jnp.float32)
+    y1 = y0 + band_h
+
+    @pl.when(band == 0)
+    def _():
+        dtri_ref[...] = jnp.zeros_like(dtri_ref)
+
+    px = jax.lax.broadcasted_iota(jnp.int32, (band_h, img_wh), 1
+                                  ).astype(jnp.float32)
+    py = jax.lax.broadcasted_iota(jnp.int32, (band_h, img_wh), 0
+                                  ).astype(jnp.float32) + y0
+    gs = gs_ref[0]                                        # (band_h, img_wh)
+
+    def chunk_body(c, _):
+        cymin = ymin_ref[bi, c].astype(jnp.float32)
+        cymax = ymax_ref[bi, c].astype(jnp.float32)
+
+        @pl.when((cymax >= y0 - margin) & (cymin <= y1 + margin))
+        def _():
+            t6 = tri_ref[0, pl.ds(c * chunk, chunk), :]   # (chunk, 6)
+            ax, ay = t6[:, 0], t6[:, 1]
+            bx, by = t6[:, 2], t6[:, 3]
+            cx, cy = t6[:, 4], t6[:, 5]
+            area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            nondeg = jnp.abs(area) > 1e-9
+
+            def edge_d2(x0, y0e, x1, y1e):
+                ex = (x1 - x0)[:, None, None]
+                ey = (y1e - y0e)[:, None, None]
+                pxr = px[None] - x0[:, None, None]
+                pyr = py[None] - y0e[:, None, None]
+                cross = ex * pyr - ey * pxr
+                ee = jnp.maximum(ex * ex + ey * ey, 1e-12)
+                tt = jnp.clip((pxr * ex + pyr * ey) / ee, 0.0, 1.0)
+                rx = pxr - tt * ex
+                ry = pyr - tt * ey
+                return cross, rx * rx + ry * ry, tt, rx, ry
+
+            # pass 1 (cheap recompute): inside flag + min-edge selection
+            c0, d0, _, _, _ = edge_d2(ax, ay, bx, by)
+            c1, d1, _, _, _ = edge_d2(bx, by, cx, cy)
+            c2, d2, _, _, _ = edge_d2(cx, cy, ax, ay)
+            inside = (((c0 >= 0) & (c1 >= 0) & (c2 >= 0)) |
+                      ((c0 <= 0) & (c1 <= 0) & (c2 <= 0))) \
+                & nondeg[:, None, None]
+            d2min = jnp.minimum(d0, jnp.minimum(d1, d2))
+            signed = jnp.where(inside, d2min, -d2min)
+            dcov = jax.nn.sigmoid(signed / sigma_px)
+            dcov = jnp.minimum(dcov, 1.0 - 1e-7)
+            sign = jnp.where(inside, 1.0, -1.0)
+            # dL/d(d²_min) per (face, pixel)
+            gd2 = gs[None] * dcov / sigma_px * sign * nondeg[:, None, None]
+
+            def endpoint_grads(is_min, x0, y0e, x1, y1e):
+                """Grads for the edge (x0,y0e)-(x1,y1e) on its min-region."""
+                _, d, tt, rx, ry = edge_d2(x0, y0e, x1, y1e)
+                w = gd2 * is_min
+                ga0x = jnp.sum(w * (-2.0 * rx * (1.0 - tt)), axis=(1, 2))
+                ga0y = jnp.sum(w * (-2.0 * ry * (1.0 - tt)), axis=(1, 2))
+                ga1x = jnp.sum(w * (-2.0 * rx * tt), axis=(1, 2))
+                ga1y = jnp.sum(w * (-2.0 * ry * tt), axis=(1, 2))
+                return ga0x, ga0y, ga1x, ga1y
+
+            # Vertex Voronoi regions tie adjacent edges exactly (distance to
+            # the shared endpoint); strict priority keeps them exclusive so
+            # the shared vertex is not double-counted.
+            min0 = (d0 <= d1) & (d0 <= d2)
+            min1 = (d1 < d0) & (d1 <= d2)
+            min2 = (d2 < d0) & (d2 < d1)
+            e0x0, e0y0, e0x1, e0y1 = endpoint_grads(min0, ax, ay, bx, by)
+            e1x0, e1y0, e1x1, e1y1 = endpoint_grads(min1, bx, by, cx, cy)
+            e2x0, e2y0, e2x1, e2y1 = endpoint_grads(min2, cx, cy, ax, ay)
+
+            g6 = jnp.stack([e0x0 + e2x1, e0y0 + e2y1,
+                            e0x1 + e1x0, e0y1 + e1y0,
+                            e1x1 + e2x0, e1y1 + e2y0], axis=-1)
+            dtri_ref[0, pl.ds(c * chunk, chunk), :] += g6
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)

@@ -220,7 +220,8 @@ def render_silhouette(vertices: jnp.ndarray,
                       focal_length: float,
                       sigma: float = 1e-5,
                       render_wh: int | None = None,
-                      backface_cull: bool = False) -> jnp.ndarray:
+                      backface_cull: bool = False,
+                      use_pallas: bool = False) -> jnp.ndarray:
     """Perspective-project SMPL vertices and rasterize the soft silhouette.
 
     Mirrors the reference NMR call
@@ -236,6 +237,11 @@ def render_silhouette(vertices: jnp.ndarray,
                                   focal_length=focal_length, img_wh=img_wh)
     if render_wh != img_wh:
         verts2d = verts2d * (render_wh / img_wh)
+    if use_pallas and not backface_cull:
+        # Pallas fast path (fwd+bwd kernels; shared-face layout only).
+        from soccerplayershapepose_tpu.render.pallas_raster import (
+            soft_silhouette_fast)
+        return soft_silhouette_fast(verts2d, faces, render_wh, sigma)
     if backface_cull:
         faces = cull_backfaces(verts2d, faces)
     return soft_silhouette(verts2d, faces, render_wh, sigma=sigma)

@@ -45,3 +45,22 @@ def test_pallas_matches_xla_smpl_mesh():
     b = np.asarray(soft_silhouette(v2d, assets.faces, 64, sigma=1e-5))
     np.testing.assert_allclose(a, b, atol=1e-5)
     assert 0.1 < (a > 0.5).mean() < 0.5
+
+
+def test_pallas_backward_matches_xla_grad():
+    import jax
+    rng = np.random.RandomState(0)
+    verts = jnp.asarray(np.array([[[12.3, 14.1], [42.7, 16.2], [28.9, 44.8],
+                                   [30.1, 20.5], [55.0, 30.0], [40.0, 55.0]]],
+                                 np.float32))
+    faces = jnp.asarray(np.array([[0, 1, 2], [3, 4, 5]], np.int32))
+    gw = jnp.asarray(rng.randn(1, 64, 64).astype(np.float32))
+
+    from soccerplayershapepose_tpu.render.pallas_raster import (
+        soft_silhouette_fast)
+    gp = jax.grad(lambda v: jnp.sum(
+        soft_silhouette_fast(v, faces, 64, 1e-4, 16, 8, True) * gw))(verts)
+    gx = jax.grad(lambda v: jnp.sum(
+        soft_silhouette(v, faces, 64, sigma=1e-4) * gw))(verts)
+    rel = float(jnp.abs(gp - gx).max() / (jnp.abs(gx).max() + 1e-9))
+    assert rel < 1e-3, rel
