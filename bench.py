@@ -18,6 +18,28 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np  # noqa: E402
 
 
+def _wait_for_device(max_wait_s: float = 900.0) -> None:
+    """The axon TPU worker occasionally crash-loops; a tiny op either
+    completes (healthy), raises (restarting), or hangs (down). Probe in a
+    subprocess with a hard timeout and retry until the deadline."""
+    import subprocess
+    import sys
+    deadline = time.time() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.ones((8,)).sum()))")
+    while True:
+        try:
+            out = subprocess.run([sys.executable, "-c", probe],
+                                 capture_output=True, timeout=90)
+            if out.returncode == 0 and b"8.0" in out.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return   # proceed anyway; the real run will surface the error
+        time.sleep(30)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -26,6 +48,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
+    _wait_for_device()
 
     assets = load_assets()
     _, params, fn = build_predictor(in_channels=18, resnet_layers=18)

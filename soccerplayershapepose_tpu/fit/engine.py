@@ -61,6 +61,10 @@ class FitConfig:
     silhouette_metrics: bool = True
     # Pallas fwd+bwd rasterizer kernels (TPU only; ~8x forward speedup).
     use_pallas: bool = False
+    # Split the fitting loop into host-driven segments of this many
+    # iterations (None = single compiled program). Same numerics; bounds
+    # single-execution runtime on flaky remote workers.
+    iters_per_call: Optional[int] = None
 
 
 class FitInit(NamedTuple):
@@ -217,9 +221,26 @@ def run_fit_loop(assets: SMPLAssets,
              "params": trainable, "init_iou": jnp.zeros((b,)),
              "init_joint_err": jnp.zeros((b,))}
 
-    (final_trainable, _, best), _ = jax.lax.scan(
-        step, (trainable, opt_state, best0), jnp.arange(fit_cfg.iters))
-    del final_trainable   # the reference keeps the best iterate, not the last
+    seg = fit_cfg.iters_per_call or fit_cfg.iters
+    if seg >= fit_cfg.iters:
+        (final_trainable, _, best), _ = jax.lax.scan(
+            step, (trainable, opt_state, best0), jnp.arange(fit_cfg.iters))
+    else:
+        # Segmented execution: one jitted scan per `seg` iterations, carry
+        # resident on device. Identical numerics; bounds single-program
+        # runtime (the remote TPU worker tolerates short executions better)
+        # and allows host-side progress inspection between segments.
+        @jax.jit
+        def run_segment(carry, its):
+            return jax.lax.scan(step, carry, its)
+
+        carry = (trainable, opt_state, best0)
+        done = 0
+        while done < fit_cfg.iters:
+            n = min(seg, fit_cfg.iters - done)
+            carry, _ = run_segment(carry, jnp.arange(done, done + n))
+            done += n
+        _, _, best = carry
     return best["params"], best
 
 

@@ -120,3 +120,25 @@ def test_multi_view_fit_shared_shape():
     assert res.betas.shape == (b, 10)
     assert res.global_orient.shape == (b, v, 1, 3, 3)
     assert np.isfinite(np.asarray(res.joint_err)).all()
+
+
+@pytest.mark.slow
+def test_track_fit_shared_betas():
+    from soccerplayershapepose_tpu.fit.track import TrackInit, track_fit
+    assets = synthesize_assets()
+    rng = np.random.RandomState(3)
+    b, t = 1, 3
+    rotmats, betas, cam, j2d = _make_target(assets, rng, b * t)
+    init = TrackInit(
+        body_pose=rotmats[:, 1:].reshape(b, t, 23, 3, 3),
+        global_orient=rotmats[:, :1].reshape(b, t, 1, 3, 3),
+        betas=(betas + 0.2).reshape(b, t, 10),
+        cam_wp=cam.reshape(b, t, 3))
+    fit_cfg = FitConfig(iters=4, lr=0.01, use_silhouette=False,
+                        silhouette_metrics=False)
+    mask = jnp.asarray([[1.0, 1.0, 0.0]])   # variable-length track
+    res = track_fit(assets, init, jnp.zeros((b, t, 512, 512)),
+                    j2d.reshape(b, t, 17, 2), fit_cfg, frame_mask=mask)
+    assert res.betas.shape == (b, 10)                 # one shared shape
+    assert res.body_pose.shape == (b, t, 23, 3, 3)    # per-frame pose
+    assert np.isfinite(np.asarray(res.joint_err)).all()
