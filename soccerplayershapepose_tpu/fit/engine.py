@@ -62,9 +62,12 @@ class FitConfig:
     # Pallas fwd+bwd rasterizer kernels (TPU only; ~8x forward speedup).
     use_pallas: bool = False
     # Split the fitting loop into host-driven segments of this many
-    # iterations (None = single compiled program). Same numerics; bounds
-    # single-execution runtime on flaky remote workers.
-    iters_per_call: Optional[int] = None
+    # iterations (None = single compiled program). Same numerics. Long
+    # silhouette-fitting executions (>~30 iterations in one program) crash
+    # this TPU backend's remote worker (isolated via scripts/probe_tpu.py:
+    # fit30 ok, fit100 faults, fit100 segmented@10 ok), so segmented
+    # execution is the default.
+    iters_per_call: Optional[int] = 25
 
 
 class FitInit(NamedTuple):

@@ -178,15 +178,25 @@ def _sorted_tri_and_ranges(verts2d, faces, chunk):
     return tri, order, cymin_i, cymax_i, n_chunks
 
 
+# Backward-kernel selection: the Pallas backward passes gradient-parity
+# tests in interpreter mode but currently ABORTS the Mosaic compiler on the
+# real chip (layout.h:320 rank check — see scripts/probe_tpu.py pallas_grad),
+# and a compiler abort takes the remote worker down. Until that is fixed the
+# default backward recomputes the forward in XLA and uses its autodiff;
+# set _USE_PALLAS_BWD = True (or test via interpret=True) for the kernel path.
+_USE_PALLAS_BWD = False
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def soft_silhouette_fast(verts2d, faces, img_wh, sigma=1e-5, band_h=32,
                          chunk=8, interpret=False):
-    """Fully Pallas-accelerated soft silhouette (forward AND backward).
+    """Pallas-accelerated soft silhouette (fast forward; safe backward).
 
     Forward: the banded face-skipping kernel (~8x over XLA on v5e at 512²).
-    Backward: a matching band kernel accumulating dL/dtri with the same
-    chunk-skip pruning (dL/ds = g·(1−S)·D/σ; envelope theorem on the clamped
-    point-segment projection), scattered to vertex gradients outside.
+    Backward: XLA-recompute autodiff by default (see _USE_PALLAS_BWD); the
+    matching Pallas backward kernel (chunk-skip pruning, dL/ds = g·(1−S)·D/σ,
+    envelope theorem on the clamped point-segment projection) is available
+    and parity-tested in interpreter mode.
     """
     return soft_silhouette_pallas(verts2d, faces, img_wh, sigma=sigma,
                                   band_h=band_h, chunk=chunk,
@@ -201,6 +211,16 @@ def _fast_fwd(verts2d, faces, img_wh, sigma, band_h, chunk, interpret):
 
 
 def _fast_bwd(img_wh, sigma, band_h, chunk, interpret, res, g):
+    if not (_USE_PALLAS_BWD or interpret):
+        from soccerplayershapepose_tpu.render.softras import soft_silhouette
+        verts2d, faces, _ = res
+        _, vjp = jax.vjp(
+            lambda v: soft_silhouette(v, faces, img_wh, sigma=sigma), verts2d)
+        return (vjp(g)[0], None)
+    return _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, res, g)
+
+
+def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, res, g):
     verts2d, faces, s = res
     b, v, _ = verts2d.shape
     f = faces.shape[0]
