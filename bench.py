@@ -40,6 +40,45 @@ def _wait_for_device(max_wait_s: float = 900.0) -> None:
         time.sleep(30)
 
 
+def bench_fit():
+    """Secondary benchmark (BENCH_MODE=fit): 100-iter render-and-compare
+    fitting for a 22-player scene within the backend's crash envelope
+    (render 128², 10-iter segments)."""
+    import time as _time
+    import jax
+    import jax.numpy as jnp
+    from soccerplayershapepose_tpu import config as cfg
+    from soccerplayershapepose_tpu.fit import (
+        FitConfig, FitInit, single_view_fit)
+    from soccerplayershapepose_tpu.ops import batch_rodrigues
+    from soccerplayershapepose_tpu.smpl import load_assets
+
+    assets = load_assets()
+    rng = np.random.RandomState(0)
+    b = int(os.environ.get("BENCH_BATCH", "22"))
+    aa = rng.randn(b, 24, 3).astype(np.float32) * 0.15
+    rot = batch_rodrigues(jnp.asarray(aa))
+    init = FitInit(body_pose=rot[:, 1:], global_orient=rot[:, :1],
+                   betas=jnp.asarray(rng.randn(b, 10).astype(np.float32) * 0.5),
+                   cam_wp=jnp.tile(jnp.array([[0.9, 0.0, 0.0]]), (b, 1)))
+    sil = jnp.asarray((rng.rand(b, 512, 512) > 0.9).astype(np.float32))
+    j2d = jnp.asarray(rng.uniform(100, 400, (b, 17, 2)).astype(np.float32))
+    fit_cfg = FitConfig(iters=100, render_wh=128, iters_per_call=10,
+                        faces_per_chunk=16)
+    res = single_view_fit(assets, init, sil, j2d, fit_cfg)   # compile
+    float(res.joint_err.mean())
+    t0 = _time.perf_counter()
+    res = single_view_fit(assets, init, sil, j2d, fit_cfg)
+    float(res.joint_err.mean())
+    dt = _time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "100-iter silhouette fits/sec/chip (batch %d scene)" % b,
+        "value": round(b / dt, 2),
+        "unit": "players/s",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -49,6 +88,8 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     _wait_for_device()
+    if os.environ.get("BENCH_MODE") == "fit":
+        return bench_fit()
 
     assets = load_assets()
     _, params, fn = build_predictor(in_channels=18, resnet_layers=18)

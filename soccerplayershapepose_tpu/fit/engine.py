@@ -62,12 +62,18 @@ class FitConfig:
     # Pallas fwd+bwd rasterizer kernels (TPU only; ~8x forward speedup).
     use_pallas: bool = False
     # Split the fitting loop into host-driven segments of this many
-    # iterations (None = single compiled program). Same numerics. Long
-    # silhouette-fitting executions (>~30 iterations in one program) crash
-    # this TPU backend's remote worker (isolated via scripts/probe_tpu.py:
-    # fit30 ok, fit100 faults, fit100 segmented@10 ok), so segmented
-    # execution is the default.
-    iters_per_call: Optional[int] = 25
+    # iterations (None = single compiled program). Same numerics. Long /
+    # large silhouette-fitting executions crash this TPU backend's remote
+    # worker (isolated via scripts/probe_tpu.py: fit30 ok, fit100 faults,
+    # fit100 segmented@10 ok; large batches need small segments AND small
+    # face chunks), so conservative segmentation is the default.
+    iters_per_call: Optional[int] = 10
+    # Rasterizer faces per scan step: bounds the (B, chunk, pixels) loss-path
+    # intermediates (backward memory scales with it).
+    faces_per_chunk: int = 16
+    # Drop back faces before rasterizing (closed-mesh silhouettes are
+    # winding-invariant; ~1.7x less rasterizer work).
+    backface_cull: bool = False
 
 
 class FitInit(NamedTuple):
@@ -118,7 +124,9 @@ def evaluate_fit(assets: SMPLAssets, body_pose, global_orient, betas, cam_wp,
                                      fit_cfg.proxy_wh, fit_cfg.focal_length,
                                      sigma=fit_cfg.sigma,
                                      render_wh=fit_cfg.render_wh,
-                                     use_pallas=fit_cfg.use_pallas)
+                                     use_pallas=fit_cfg.use_pallas,
+                                     backface_cull=fit_cfg.backface_cull,
+                                     faces_per_chunk=fit_cfg.faces_per_chunk)
         target_sil = target_silhouette
         if fit_cfg.render_wh != target_silhouette.shape[-1]:
             step = target_silhouette.shape[-1] // fit_cfg.render_wh

@@ -339,14 +339,20 @@ def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
             gd2 = gs[None] * dcov / sigma_px * sign * nondeg[:, None, None]
 
             def endpoint_grads(is_min, x0, y0e, x1, y1e):
-                """Grads for the edge (x0,y0e)-(x1,y1e) on its min-region."""
+                """Grads for the edge (x0,y0e)-(x1,y1e) on its min-region.
+
+                All reductions keep 2-D shapes (chunk, 1) — Mosaic rejects
+                1-D intermediates (layout rank check)."""
                 _, d, tt, rx, ry = edge_d2(x0, y0e, x1, y1e)
                 w = gd2 * is_min
-                ga0x = jnp.sum(w * (-2.0 * rx * (1.0 - tt)), axis=(1, 2))
-                ga0y = jnp.sum(w * (-2.0 * ry * (1.0 - tt)), axis=(1, 2))
-                ga1x = jnp.sum(w * (-2.0 * rx * tt), axis=(1, 2))
-                ga1y = jnp.sum(w * (-2.0 * ry * tt), axis=(1, 2))
-                return ga0x, ga0y, ga1x, ga1y
+
+                def red(v):
+                    return jnp.sum((w * v).reshape(chunk, -1), axis=1,
+                                   keepdims=True)
+                return (red(-2.0 * rx * (1.0 - tt)),
+                        red(-2.0 * ry * (1.0 - tt)),
+                        red(-2.0 * rx * tt),
+                        red(-2.0 * ry * tt))
 
             # Vertex Voronoi regions tie adjacent edges exactly (distance to
             # the shared endpoint); strict priority keeps them exclusive so
@@ -358,9 +364,9 @@ def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
             e1x0, e1y0, e1x1, e1y1 = endpoint_grads(min1, bx, by, cx, cy)
             e2x0, e2y0, e2x1, e2y1 = endpoint_grads(min2, cx, cy, ax, ay)
 
-            g6 = jnp.stack([e0x0 + e2x1, e0y0 + e2y1,
-                            e0x1 + e1x0, e0y1 + e1y0,
-                            e1x1 + e2x0, e1y1 + e2y0], axis=-1)
+            g6 = jnp.concatenate([e0x0 + e2x1, e0y0 + e2y1,
+                                  e0x1 + e1x0, e0y1 + e1y0,
+                                  e1x1 + e2x0, e1y1 + e2y0], axis=1)
             dtri_ref[0, pl.ds(c * chunk, chunk), :] += g6
 
         return 0

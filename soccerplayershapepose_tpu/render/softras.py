@@ -221,7 +221,8 @@ def render_silhouette(vertices: jnp.ndarray,
                       sigma: float = 1e-5,
                       render_wh: int | None = None,
                       backface_cull: bool = False,
-                      use_pallas: bool = False) -> jnp.ndarray:
+                      use_pallas: bool = False,
+                      faces_per_chunk: int = 86) -> jnp.ndarray:
     """Perspective-project SMPL vertices and rasterize the soft silhouette.
 
     Mirrors the reference NMR call
@@ -244,4 +245,5 @@ def render_silhouette(vertices: jnp.ndarray,
         return soft_silhouette_fast(verts2d, faces, render_wh, sigma)
     if backface_cull:
         faces = cull_backfaces(verts2d, faces)
-    return soft_silhouette(verts2d, faces, render_wh, sigma=sigma)
+    return soft_silhouette(verts2d, faces, render_wh, sigma=sigma,
+                           faces_per_chunk=faces_per_chunk)
