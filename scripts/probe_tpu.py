@@ -78,6 +78,12 @@ def main():
         g = jax.grad(lambda v: jnp.sum(
             soft_silhouette(v, assets.faces, 128, sigma=1e-5)))(v2d)
         print("ok", float(jnp.abs(g).sum()), flush=True)
+    elif stage == "pallas_grad2":
+        import soccerplayershapepose_tpu.render.pallas_raster as pr
+        pr._USE_PALLAS_BWD = True
+        g = jax.grad(lambda v: jnp.sum(
+            pr.soft_silhouette_fast(v, assets.faces, 128, 1e-5)))(v2d)
+        print("ok", float(jnp.abs(g).sum()), flush=True)
     elif stage == "pallas_grad":
         from soccerplayershapepose_tpu.render.pallas_raster import (
             soft_silhouette_fast)

@@ -178,13 +178,13 @@ def _sorted_tri_and_ranges(verts2d, faces, chunk):
     return tri, order, cymin_i, cymax_i, n_chunks
 
 
-# Backward-kernel selection: the Pallas backward passes gradient-parity
-# tests in interpreter mode but currently ABORTS the Mosaic compiler on the
-# real chip (layout.h:320 rank check — see scripts/probe_tpu.py pallas_grad),
-# and a compiler abort takes the remote worker down. Until that is fixed the
-# default backward recomputes the forward in XLA and uses its autodiff;
-# set _USE_PALLAS_BWD = True (or test via interpret=True) for the kernel path.
-_USE_PALLAS_BWD = False
+# Backward-kernel selection. The original backward kernel aborted the Mosaic
+# compiler (layout.h:320 rank check) because of 1-D intermediates; rewritten
+# with keepdims-2-D reductions it compiles and matches the XLA gradient
+# exactly on the real chip (scripts/probe_tpu.py pallas_grad2). Kill switch:
+# SPT_PALLAS_BWD=0 falls back to XLA-recompute autodiff.
+import os as _os
+_USE_PALLAS_BWD = _os.environ.get("SPT_PALLAS_BWD", "1") != "0"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
@@ -237,27 +237,47 @@ def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, res, g):
         gs = jnp.concatenate(
             [gs, jnp.zeros((b, pad_rows, img_wh), jnp.float32)], axis=1)
 
+    # Face-block decomposition: the (F, 6) tri/dtri VMEM blocks get their
+    # last dim lane-padded 6 → 128, so a monolithic block is ~7 MB and two of
+    # them blow the 16 MB VMEM budget at large batch. Grid axis 1 iterates
+    # face blocks (~2k faces → ~1 MB padded); bands iterate INNERMOST so each
+    # dtri block stays resident across its accumulation visits.
+    f_pad = n_chunks * chunk
+    f_block = min(f_pad, ((2048 // chunk) * chunk) or chunk)
+    n_cblocks = -(-f_pad // f_block)
+    extra = n_cblocks * f_block - f_pad
+    if extra:
+        tri = jnp.concatenate(
+            [tri, jnp.full((b, extra, 6), -1e9, tri.dtype)], axis=1)
+        pad_chunks = extra // chunk
+        cymin_i = jnp.concatenate(
+            [cymin_i, jnp.full((b, pad_chunks), 0, jnp.int32)], axis=1)
+        cymax_i = jnp.concatenate(
+            [cymax_i, jnp.full((b, pad_chunks), -2**30, jnp.int32)], axis=1)
+    chunks_per_block = f_block // chunk
+
     kernel = functools.partial(
-        _band_bwd_kernel, n_chunks=n_chunks, chunk=chunk, band_h=band_h,
-        img_wh=img_wh, sigma_px=sigma_px, margin=margin)
+        _band_bwd_kernel, chunks_per_block=chunks_per_block, chunk=chunk,
+        band_h=band_h, img_wh=img_wh, sigma_px=sigma_px, margin=margin)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, n_bands),
-        in_specs=[pl.BlockSpec((1, n_chunks * chunk, 6),
-                               lambda bi, band, *_: (bi, 0, 0),
+        grid=(b, n_cblocks, n_bands),
+        in_specs=[pl.BlockSpec((1, f_block, 6),
+                               lambda bi, cb, band, *_: (bi, cb, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, band_h, img_wh),
-                               lambda bi, band, *_: (bi, band, 0),
+                               lambda bi, cb, band, *_: (bi, band, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, n_chunks * chunk, 6),
-                               lambda bi, band, *_: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, f_block, 6),
+                               lambda bi, cb, band, *_: (bi, cb, 0),
                                memory_space=pltpu.VMEM),
     )
     dtri_sorted = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_chunks * chunk, 6), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n_cblocks * f_block, 6),
+                                       jnp.float32),
         interpret=interpret,
     )(cymin_i, cymax_i, tri, gs)
 
@@ -273,18 +293,20 @@ soft_silhouette_fast.defvjp(_fast_fwd, _fast_bwd)
 
 
 def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
-                     n_chunks: int, chunk: int, band_h: int, img_wh: int,
-                     sigma_px: float, margin: float):
+                     chunks_per_block: int, chunk: int, band_h: int,
+                     img_wh: int, sigma_px: float, margin: float):
     """Backward band kernel: accumulate dL/dtri over this band's pixels.
 
     gs_ref carries g·(1−S) per pixel (dL/d log-miss-sum). Per (face, pixel):
     dL/ds = g(1−S)·D/σ with s = sign·d²_min; the min edge's endpoints get
-    (envelope theorem) dd²/da = −2r(1−t), dd²/db = −2rt. The dtri output
-    block is shared by all bands of a sample (sequential grid) and
-    accumulated in place.
+    (envelope theorem) dd²/da = −2r(1−t), dd²/db = −2rt. Grid =
+    (batch, face-block, band) with bands innermost: each face-block's dtri
+    output block stays VMEM-resident across its band visits and accumulates
+    in place (initialised at band 0).
     """
     bi = pl.program_id(0)
-    band = pl.program_id(1)
+    cb = pl.program_id(1)
+    band = pl.program_id(2)
     y0 = (band * band_h).astype(jnp.float32)
     y1 = y0 + band_h
 
@@ -299,8 +321,9 @@ def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
     gs = gs_ref[0]                                        # (band_h, img_wh)
 
     def chunk_body(c, _):
-        cymin = ymin_ref[bi, c].astype(jnp.float32)
-        cymax = ymax_ref[bi, c].astype(jnp.float32)
+        gchunk = cb * chunks_per_block + c
+        cymin = ymin_ref[bi, gchunk].astype(jnp.float32)
+        cymax = ymax_ref[bi, gchunk].astype(jnp.float32)
 
         @pl.when((cymax >= y0 - margin) & (cymin <= y1 + margin))
         def _():
@@ -371,4 +394,4 @@ def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
 
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, chunks_per_block, chunk_body, 0)
