@@ -59,8 +59,10 @@ class FitConfig:
     # silhouette loss is off; set False to skip the render entirely
     # (joints-only fitting — large speedup, metrics report 0).
     silhouette_metrics: bool = True
-    # Pallas fwd+bwd rasterizer kernels (TPU only; ~8x forward speedup).
-    use_pallas: bool = False
+    # Pallas fwd+bwd rasterizer kernels. None = auto: on for TPU backends,
+    # off on CPU (the kernels require the real compiler; tests run the XLA
+    # path). Measured on v5e: 8.3x forward, 4.35x full fitting loop.
+    use_pallas: Optional[bool] = None
     # Split the fitting loop into host-driven segments of this many
     # iterations (None = single compiled program). Same numerics. Long /
     # large silhouette-fitting executions crash this TPU backend's remote
@@ -120,11 +122,14 @@ def evaluate_fit(assets: SMPLAssets, body_pose, global_orient, betas, cam_wp,
 
     need_sil = fit_cfg.use_silhouette or fit_cfg.silhouette_metrics
     if need_sil:
+        use_pallas = fit_cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
         pred_sil = render_silhouette(out.vertices, translation, assets.faces,
                                      fit_cfg.proxy_wh, fit_cfg.focal_length,
                                      sigma=fit_cfg.sigma,
                                      render_wh=fit_cfg.render_wh,
-                                     use_pallas=fit_cfg.use_pallas,
+                                     use_pallas=use_pallas,
                                      backface_cull=fit_cfg.backface_cull,
                                      faces_per_chunk=fit_cfg.faces_per_chunk)
         target_sil = target_silhouette
