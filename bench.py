@@ -92,7 +92,9 @@ def main():
         return bench_fit()
 
     assets = load_assets()
-    _, params, fn = build_predictor(in_channels=18, resnet_layers=18)
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    _, params, fn = build_predictor(in_channels=18, resnet_layers=18,
+                                    dtype=dtype)
 
     rng = np.random.RandomState(0)
     silhouette = jnp.asarray((rng.rand(batch, 512, 512) > 0.8)
@@ -120,7 +122,7 @@ def main():
     crops_per_sec = batch * iters / dt
     baseline = 500.0
     print(json.dumps({
-        "metric": "player crops/sec/chip (crop->SMPL mesh, batch %d)" % batch,
+        "metric": "player crops/sec/chip (crop->SMPL mesh, batch %d, %s convs)" % (batch, dtype),
         "value": round(crops_per_sec, 1),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / baseline, 3),

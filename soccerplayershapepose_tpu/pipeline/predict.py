@@ -82,16 +82,19 @@ def predict_smpl(regressor: SingleInputRegressor,
 
 def build_predictor(in_channels: int = 18, resnet_layers: int = 18,
                     ief_iters: int = 3, seed: int = 0,
-                    proxy_wh: int = cfg.PROXY_REP_INPUT_WH):
+                    proxy_wh: int = cfg.PROXY_REP_INPUT_WH,
+                    dtype: str = "float32"):
     """Construct (regressor, params, jitted_fn).
 
     The jitted fn signature is ``fn(params, assets, silhouette, joints2d)``
     → PredictOutput; assets/params flow as arguments (never closed over —
     required on this TPU backend, see .claude/skills/verify/SKILL.md).
     """
+    import jax.numpy as _jnp
     regressor = SingleInputRegressor(in_channels=in_channels,
                                      resnet_layers=resnet_layers,
-                                     ief_iters=ief_iters)
+                                     ief_iters=ief_iters,
+                                     dtype=getattr(_jnp, dtype))
     rng = jax.random.PRNGKey(seed)
     dummy_proxy = jnp.zeros((1, cfg.REGRESSOR_IMG_WH, cfg.REGRESSOR_IMG_WH,
                              in_channels), jnp.float32)
