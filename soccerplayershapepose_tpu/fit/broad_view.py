@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from soccerplayershapepose_tpu import config as cfg
 from soccerplayershapepose_tpu.fit.engine import (
-    FitConfig, FitInit, FitResult, run_fit_loop)
+    FitConfig, FitResult, run_fit_loop)
 from soccerplayershapepose_tpu.ops.camera import weak_perspective_to_translation
 from soccerplayershapepose_tpu.smpl.assets import SMPLAssets
 

@@ -13,7 +13,7 @@ matrix works: torchvision ResNet-18 logits on host, or a flax port).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

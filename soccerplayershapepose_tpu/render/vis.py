@@ -12,7 +12,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from soccerplayershapepose_tpu import config as cfg
 from soccerplayershapepose_tpu.ops.camera import (
     orthographic_project, undo_keypoint_normalisation)
 from soccerplayershapepose_tpu.render.softras import soft_silhouette
