@@ -167,6 +167,7 @@ def single_view_optimization(assets: SMPLAssets, image_root: str,
                              mul_folder: Optional[str] = None,
                              ignore_first: bool = True,
                              skip_existing: bool = False,
+                             vis_folder: Optional[str] = None,
                              verbose: bool = True) -> dict:
     """Batched single-view fitting over the player tree; writes per-view
     ``.npz`` results and returns the init/opt metric means the reference
@@ -203,6 +204,13 @@ def single_view_optimization(assets: SMPLAssets, image_root: str,
                        betas=pred.betas, cam_wp=pred.cam_wp)
         res = single_view_fit(assets, init, sil_b, j2d_b, fit_cfg, mask)
 
+        if vis_folder is not None:
+            # best-iterate mesh overlay per view (the reference's *_1.png
+            # vis, player_recon.py:1286-1291) over the proxy silhouette
+            from soccerplayershapepose_tpu.render.vis import render_mesh_overlay
+            from soccerplayershapepose_tpu.smpl.model import smpl_forward
+            best = smpl_forward(assets, res.betas, res.body_pose,
+                                res.global_orient)
         for i, (node, view) in enumerate(chunk[:n_real]):
             out_dir = os.path.join(result_root, node.game, node.scene,
                                    node.player)
@@ -211,6 +219,16 @@ def single_view_optimization(assets: SMPLAssets, image_root: str,
                 os.path.join(out_dir, os.path.splitext(view)[0] + ".npz"),
                 np.asarray(res.body_pose[i]), np.asarray(res.global_orient[i]),
                 np.asarray(res.betas[i]), np.asarray(res.translation[i]))
+            if vis_folder is not None:
+                vis_dir = os.path.join(vis_folder, node.game, node.scene,
+                                       node.player)
+                os.makedirs(vis_dir, exist_ok=True)
+                base = (np.asarray(sil_b[i]) * 128).astype(np.uint8)
+                base = np.stack([base] * 3, axis=-1)
+                overlay = render_mesh_overlay(
+                    best.vertices[i], assets.faces, res.cam_wp[i], base)
+                io.write_png(os.path.join(
+                    vis_dir, os.path.splitext(view)[0] + "_1.png"), overlay)
             sums["init_iou"] += float(res.init_silh_iou[i])
             sums["init_err"] += float(res.init_joint_err[i])
             sums["opt_iou"] += float(res.silh_iou[i])

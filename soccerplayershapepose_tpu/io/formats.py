@@ -82,6 +82,13 @@ def write_metrics(path: str, silh_iou: float, joint_err: float) -> None:
     write_json_xml(path, [float(silh_iou), float(joint_err)])
 
 
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an (H, W[, 3]) uint8 image (vis outputs — *Vis folders)."""
+    from soccerplayershapepose_tpu.pipeline.densepose import encode_png
+    with open(path, "wb") as f:
+        f.write(encode_png(np.asarray(image, np.uint8)))
+
+
 # ---------------------------------------------------------------------------
 # Fit-result npz
 # ---------------------------------------------------------------------------
