@@ -63,8 +63,8 @@ def bench_fit():
                    cam_wp=jnp.tile(jnp.array([[0.9, 0.0, 0.0]]), (b, 1)))
     sil = jnp.asarray((rng.rand(b, 512, 512) > 0.9).astype(np.float32))
     j2d = jnp.asarray(rng.uniform(100, 400, (b, 17, 2)).astype(np.float32))
-    fit_cfg = FitConfig(iters=100, render_wh=128, iters_per_call=10,
-                        faces_per_chunk=16)
+    fit_cfg = FitConfig(iters=100, render_wh=256, iters_per_call=25,
+                        faces_per_chunk=86)
     res = single_view_fit(assets, init, sil, j2d, fit_cfg)   # compile
     float(res.joint_err.mean())
     t0 = _time.perf_counter()
@@ -72,7 +72,7 @@ def bench_fit():
     float(res.joint_err.mean())
     dt = _time.perf_counter() - t0
     print(json.dumps({
-        "metric": "100-iter silhouette fits/sec/chip (batch %d scene)" % b,
+        "metric": "100-iter 256^2 silhouette fits/sec/chip (batch %d scene)" % b,
         "value": round(b / dt, 2),
         "unit": "players/s",
         "vs_baseline": None,
