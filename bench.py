@@ -129,5 +129,25 @@ def main():
     }))
 
 
+def _run_with_retries(attempts: int = 3):
+    """The remote TPU worker can be mid-restart when the driver invokes the
+    benchmark. A failed JAX client cannot recover in-process, so on failure
+    re-exec a fresh interpreter after the device answers again."""
+    import subprocess
+    import sys
+    tries = int(os.environ.get("_BENCH_TRY", "0"))
+    try:
+        return main()
+    except Exception as e:
+        if tries + 1 >= attempts:
+            raise
+        print(f"# bench attempt {tries + 1} failed: {type(e).__name__}; "
+              "re-probing device and re-executing", file=sys.stderr)
+        _wait_for_device(600)
+        env = dict(os.environ, _BENCH_TRY=str(tries + 1))
+        out = subprocess.run([sys.executable] + sys.argv, env=env)
+        sys.exit(out.returncode)
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_retries()
