@@ -22,8 +22,8 @@ Implementation notes (TPU):
   backward pass rematerializes chunks (``jax.checkpoint``);
 * the aggregation runs in log-space: ``S = 1 - exp(Σ log1p(-D))``.
 
-A Pallas tile-binned kernel is the planned fast path; this XLA version is the
-reference implementation and the correctness oracle for it.
+The Pallas banded kernels (``render/pallas_raster.py``) are the fast path;
+this XLA version is the reference implementation and their correctness oracle.
 """
 
 from __future__ import annotations
