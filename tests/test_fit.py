@@ -142,3 +142,24 @@ def test_track_fit_shared_betas():
     assert res.betas.shape == (b, 10)                 # one shared shape
     assert res.body_pose.shape == (b, t, 23, 3, 3)    # per-frame pose
     assert np.isfinite(np.asarray(res.joint_err)).all()
+
+
+@pytest.mark.slow
+def test_single_view_fit_with_backface_cull():
+    """Culled-rasterizer fitting stays consistent with the full-face path."""
+    assets = synthesize_assets()
+    rng = np.random.RandomState(5)
+    b = 1
+    rotmats, betas, cam, j2d = _make_target(assets, rng, b)
+    init = _perturbed_init(rotmats, betas, cam, rng, scale=0.1)
+    sil = jnp.zeros((b, 512, 512)).at[:, 200:300, 200:300].set(1.0)
+
+    base = FitConfig(iters=3, lr=0.01, render_wh=64, sigma=1e-4,
+                     use_pallas=False)
+    culled = FitConfig(iters=3, lr=0.01, render_wh=64, sigma=1e-4,
+                       use_pallas=False, backface_cull=True)
+    r0 = single_view_fit(assets, init, sil, j2d, base)
+    r1 = single_view_fit(assets, init, sil, j2d, culled)
+    # silhouette union is winding-invariant: IoUs should agree closely
+    np.testing.assert_allclose(np.asarray(r1.silh_iou),
+                               np.asarray(r0.silh_iou), atol=0.05)

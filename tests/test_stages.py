@@ -94,3 +94,23 @@ def test_stage_pipeline_end_to_end(tmp_path):
                              fit_cfg=fast, batch_size=4)
     assert m["count"] == 4
     assert np.isfinite(m["joint_err"])
+
+
+@pytest.mark.slow
+def test_single_view_vis_output(tmp_path):
+    """vis_folder writes decodable best-iterate overlay PNGs."""
+    from soccerplayershapepose_tpu.pipeline.densepose import decode_png
+    assets = synthesize_assets()
+    image_root, proxy_root = _make_dataset(tmp_path, n_players=1, n_views=1)
+    _, params, fn = build_predictor()
+    out = single_view_optimization(
+        assets, image_root, proxy_root, str(tmp_path / "SV"),
+        params=params, regressor_fn=fn,
+        fit_cfg=FitConfig(iters=2, use_silhouette=False,
+                          silhouette_metrics=False, render_wh=128),
+        batch_size=2, ignore_first=False, verbose=False,
+        vis_folder=str(tmp_path / "SVVis"))
+    assert out["count"] == 1
+    png = (tmp_path / "SVVis" / "g1" / "s1" / "2" / "view_1_1.png").read_bytes()
+    img = decode_png(png)
+    assert img.shape == (512, 512, 3)
