@@ -44,6 +44,7 @@ from soccerplayershapepose_tpu.ops.segmentation import (
 from soccerplayershapepose_tpu.render.softras import render_silhouette
 from soccerplayershapepose_tpu.smpl.assets import SMPLAssets
 from soccerplayershapepose_tpu.smpl.model import smpl_forward
+from soccerplayershapepose_tpu.utils.precision import default_platform
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,7 +125,7 @@ def evaluate_fit(assets: SMPLAssets, body_pose, global_orient, betas, cam_wp,
     if need_sil:
         use_pallas = fit_cfg.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu",)
+            use_pallas = default_platform() not in ("cpu",)
         pred_sil = render_silhouette(out.vertices, translation, assets.faces,
                                      fit_cfg.proxy_wh, fit_cfg.focal_length,
                                      sigma=fit_cfg.sigma,
@@ -134,8 +135,22 @@ def evaluate_fit(assets: SMPLAssets, body_pose, global_orient, betas, cam_wp,
                                      faces_per_chunk=fit_cfg.faces_per_chunk)
         target_sil = target_silhouette
         if fit_cfg.render_wh != target_silhouette.shape[-1]:
-            step = target_silhouette.shape[-1] // fit_cfg.render_wh
-            target_sil = target_silhouette[..., ::step, ::step]
+            # Area-average (box filter) downsample of the binary target, NOT
+            # strided subsampling: strides drop 1-2px structures (arms) at
+            # 128² entirely, whereas fractional coverage matches the soft
+            # rasterizer's own semantics. The reference compares at full 512²
+            # (player_recon.py:1226-1233); render_wh < proxy_wh is this
+            # framework's speed knob and must stay consistent across scales.
+            full = target_silhouette.shape[-1]
+            if full % fit_cfg.render_wh != 0:
+                raise ValueError(
+                    f"render_wh={fit_cfg.render_wh} must divide the target "
+                    f"silhouette size {full}")
+            step = full // fit_cfg.render_wh
+            b = target_silhouette.shape[:-2]
+            target_sil = target_silhouette.reshape(
+                *b, fit_cfg.render_wh, step, fit_cfg.render_wh, step
+            ).mean(axis=(-3, -1))
         iou = silhouette_confusion_metrics(pred_sil, target_sil)["iou"]
         bce = -jnp.sum(
             pred_sil * jnp.log(target_sil + 1e-6)

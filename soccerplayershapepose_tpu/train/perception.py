@@ -1,0 +1,167 @@
+"""Training loops for the perception nets (ProxyNet + PlayerDetector).
+
+The reference never trains these — it downloads COCO/DensePose-pretrained
+detectron2/torchvision weights
+(``/root/reference/Python/Soccer/PlayerReconstruction/predict/predict_3D.py:35-64``,
+``PlayerDetection/player_detection.py:86-87``). Here both train end-to-end on
+the synthetic SMPL render factory (``train/synth.py``), one jitted step per
+batch, scalable over the ``data`` mesh axis like every other trainer in this
+package.
+
+Losses:
+* keypoints — pixel-weighted MSE between sigmoided stride-4 heatmaps and
+  Gaussian targets (σ matching the proxy heatmap convention,
+  label_conversions.py:58-87, rescaled to head resolution),
+* silhouette — full-resolution BCE with logits,
+* IUV — softmax cross-entropy over background+24 parts, plus L1 on the
+  ground-truth part's UV channels inside the body,
+* detector — CenterNet focal + L1 (models/detector.py:detector_loss).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from soccerplayershapepose_tpu.models.detector import (
+    PlayerDetector, center_targets, detector_loss)
+from soccerplayershapepose_tpu.models.perception import (
+    NUM_PARTS, STRIDE, ProxyNet)
+
+
+def gaussian_heatmap_targets(joints2d: jnp.ndarray, wh: int,
+                             sigma: float = 1.5) -> jnp.ndarray:
+    """Smooth (non-truncated) Gaussian training targets, (B, wh, wh, K).
+
+    Distinct from ops/heatmaps.joints2d_to_gaussian_heatmaps, which
+    reproduces the reference's int-cast/truncation quirks for *input proxy*
+    parity — training targets want clean sub-pixel peaks.
+    """
+    grid = jnp.arange(wh, dtype=jnp.float32) + 0.5
+    dy = grid[None, :, None] - joints2d[..., 1][:, None, :]   # (B, wh, K)
+    dx = grid[None, :, None] - joints2d[..., 0][:, None, :]
+    gy = jnp.exp(-dy ** 2 / (2 * sigma ** 2))
+    gx = jnp.exp(-dx ** 2 / (2 * sigma ** 2))
+    return gy[:, :, None, :] * gx[:, None, :, :]              # (B,wh,wh,K)
+
+
+class PerceptionTrainState(NamedTuple):
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def _init_state(model, rng, dummy, tx):
+    variables = model.init(rng, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    return PerceptionTrainState(params, batch_stats, opt_state,
+                                jnp.zeros((), jnp.int32))
+
+
+def make_proxynet_state(model: ProxyNet, rng: jax.Array, wh: int = 256,
+                        learning_rate: float = 1e-3,
+                        tx: Optional[optax.GradientTransformation] = None):
+    tx = tx or optax.adam(learning_rate)
+    dummy = jnp.zeros((1, wh, wh, 3), jnp.float32)
+    return _init_state(model, rng, dummy, tx), tx
+
+
+def make_detector_state(model: PlayerDetector, rng: jax.Array,
+                        hw: tuple = (256, 256), learning_rate: float = 1e-3,
+                        tx: Optional[optax.GradientTransformation] = None):
+    tx = tx or optax.adam(learning_rate)
+    dummy = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
+    return _init_state(model, rng, dummy, tx), tx
+
+
+def proxynet_losses(model: ProxyNet, params, batch_stats, batch,
+                    train: bool = True):
+    """Forward + all head losses on a synth (or real, if labeled) batch."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, mutated = model.apply(variables, batch["image"], train=True,
+                                   mutable=["batch_stats"])
+        new_stats = mutated["batch_stats"]
+    else:
+        out = model.apply(variables, batch["image"], train=False)
+        new_stats = batch_stats
+
+    wh = batch["image"].shape[1]
+    small = wh // STRIDE
+
+    # Keypoint heatmaps: Gaussian targets at head resolution. σ=4 at 512
+    # proxy scale (label_conversions.py:66) ≡ σ=1 at stride 4; use 1.5 cells
+    # for a slightly wider basin.
+    kp_t = gaussian_heatmap_targets(
+        batch["joints2d"] * (small / wh), small, sigma=1.5)     # (B,s,s,17)
+    kp_p = jax.nn.sigmoid(out.kp_logits)
+    kp_w = 1.0 + 20.0 * kp_t                    # counter bg/fg imbalance
+    kp_loss = jnp.mean(kp_w * (kp_p - kp_t) ** 2) * 10.0
+
+    mask_t = batch["silhouette"]
+    mask_loss = jnp.mean(optax.sigmoid_binary_cross_entropy(
+        out.mask_logits, mask_t))
+
+    losses = {"kp": kp_loss, "mask": mask_loss}
+    total = kp_loss + mask_loss
+    if model.with_iuv and out.part_logits is not None:
+        part_t = batch["part"]                                   # (B,s,s)
+        part_loss = jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(
+                out.part_logits, part_t))
+        fg = (part_t > 0).astype(jnp.float32)
+        sel = jnp.clip(part_t - 1, 0, NUM_PARTS - 1)
+        uv_p = jax.nn.sigmoid(out.uv.reshape(
+            out.uv.shape[:3] + (NUM_PARTS, 2)))
+        uv_sel = jnp.take_along_axis(
+            uv_p, sel[..., None, None].astype(jnp.int32), axis=3)[..., 0, :]
+        uv_loss = jnp.sum(jnp.abs(uv_sel - batch["uv"]) * fg[..., None]) \
+            / jnp.maximum(jnp.sum(fg) * 2.0, 1.0)
+        losses["part"] = part_loss
+        losses["uv"] = uv_loss
+        total = total + part_loss + uv_loss
+    losses["total"] = total
+    return total, (losses, new_stats)
+
+
+def make_proxynet_train_step(model: ProxyNet,
+                             tx: optax.GradientTransformation):
+    def train_step(state: PerceptionTrainState, batch):
+        grad_fn = jax.value_and_grad(
+            lambda p: proxynet_losses(model, p, state.batch_stats, batch),
+            has_aux=True)
+        (_, (losses, new_stats)), grads = grad_fn(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return PerceptionTrainState(params, new_stats, new_opt,
+                                    state.step + 1), losses
+    return train_step
+
+
+def make_detector_train_step(model: PlayerDetector,
+                             tx: optax.GradientTransformation):
+    def train_step(state: PerceptionTrainState, batch):
+        hw = batch["image"].shape[1:3]
+        targets = center_targets(batch["boxes"], batch["mask"], hw)
+
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": state.batch_stats}
+            out, mutated = model.apply(variables, batch["image"], train=True,
+                                       mutable=["batch_stats"])
+            total, parts = detector_loss(out, targets, batch["mask"])
+            return total, (parts, mutated["batch_stats"])
+
+        (total, (parts, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        parts["total"] = total
+        return PerceptionTrainState(params, new_stats, new_opt,
+                                    state.step + 1), parts
+    return train_step

@@ -16,3 +16,17 @@ import jax.numpy as jnp
 
 hp_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 hp_matmul = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+def default_platform() -> str:
+    """Platform computations actually run on by default.
+
+    ``jax.default_backend()`` reports the highest-priority *backend* — in this
+    image the axon TPU plugin registers even when tests pin execution to CPU
+    via ``jax.config.jax_default_device``, so the backend name alone
+    mis-detects. Honour the default-device pin first.
+    """
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()

@@ -16,3 +16,13 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# In this image the axon TPU plugin registers regardless of JAX_PLATFORMS
+# (the env var above is silently ignored; default_backend() stays 'tpu'),
+# so every jit would compile on the remote TPU — ~43 min for the suite.
+# Pin the default device to a virtual CPU so tests run locally; code that
+# needs the effective platform must consult jax.config.jax_default_device
+# (see utils/precision.py:default_platform), not jax.default_backend().
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
