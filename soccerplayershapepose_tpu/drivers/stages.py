@@ -246,6 +246,70 @@ def single_view_optimization(assets: SMPLAssets, image_root: str,
     return result
 
 
+def single_view_optimization_test(assets: SMPLAssets, image_root: str,
+                                  proxy_root: str, result_root: str,
+                                  params=None, regressor_fn=None,
+                                  fit_cfg: Optional[FitConfig] = None,
+                                  batch_size: int = 32,
+                                  snapshot_every: int = 1,
+                                  save_every: bool = True,
+                                  ignore_first: bool = True) -> dict:
+    """Ablation variant of the single-view stage
+    (``single_view_optimization_test``, player_recon.py:1309-1567): the kept
+    iterate updates every epoch (``save_every``) and the parameter
+    trajectory is dumped as per-epoch ``<view>_epoch{k}.npz`` snapshots next
+    to the final ``<view>.npz``."""
+    import dataclasses as _dc
+
+    fit_cfg = fit_cfg or FitConfig()
+    fit_cfg = _dc.replace(fit_cfg, save_every=save_every,
+                          snapshot_every=snapshot_every)
+    if regressor_fn is None:
+        _, params, regressor_fn = build_predictor()
+    pairs = _gather_views(image_root, proxy_root, ignore_first, None, None)
+
+    count = 0
+    for chunk in _batched(pairs, batch_size):
+        sils, joints = [], []
+        for node, view in chunk:
+            s, j = load_proxy_batch(
+                os.path.join(proxy_root, node.game, node.scene, node.player),
+                [view])
+            sils.append(s[0])
+            joints.append(j[0])
+        n_real = len(chunk)
+        sil_b = jnp.asarray(_pad_batch(sils, batch_size))
+        j2d_b = jnp.asarray(_pad_batch(joints, batch_size))
+        mask = jnp.asarray((np.arange(batch_size) < n_real).astype(np.float32))
+
+        pred = regressor_fn(params, assets, sil_b, j2d_b)
+        init = FitInit(body_pose=pred.pose_rotmats[:, 1:],
+                       global_orient=pred.pose_rotmats[:, :1],
+                       betas=pred.betas, cam_wp=pred.cam_wp)
+        res = single_view_fit(assets, init, sil_b, j2d_b, fit_cfg, mask)
+        snaps = {k: np.asarray(v) for k, v in res.snapshots.items()}
+
+        for i, (node, view) in enumerate(chunk[:n_real]):
+            out_dir = os.path.join(result_root, node.game, node.scene,
+                                   node.player)
+            os.makedirs(out_dir, exist_ok=True)
+            base = os.path.splitext(view)[0]
+            io.write_fit_npz(
+                os.path.join(out_dir, base + ".npz"),
+                np.asarray(res.body_pose[i]), np.asarray(res.global_orient[i]),
+                np.asarray(res.betas[i]), np.asarray(res.translation[i]))
+            for t in range(snaps["body_pose"].shape[0]):
+                io.write_fit_npz(
+                    os.path.join(out_dir,
+                                 f"{base}_epoch{t * snapshot_every + 1}.npz"),
+                    snaps["body_pose"][t, i], snaps["global_orient"][t, i],
+                    snaps["betas"][t, i], snaps["translation"][t, i])
+            count += 1
+    return {"count": count,
+            "snapshots_per_view": 0 if not count
+            else (fit_cfg.iters + snapshot_every - 1) // snapshot_every}
+
+
 def multi_view_optimization(assets: SMPLAssets, image_root: str,
                             proxy_root: str, single_view_root: str,
                             result_root: str,

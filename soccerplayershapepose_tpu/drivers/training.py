@@ -249,7 +249,8 @@ def evaluate_model_relate(assets: SMPLAssets, image_root: str,
                           optimize_cam: bool = False,
                           in_channels: int = 18,
                           relation_kwargs: Optional[dict] = None,
-                          max_players: int = cfg.MAX_PLAYERS_PER_FRAME) -> dict:
+                          max_players: int = cfg.MAX_PLAYERS_PER_FRAME,
+                          allow_random_init: bool = False) -> dict:
     """Relation-module evaluation (PyTorch3DTest.evaluate_model_relate
     :1501-1860): run the regressor per scene, refine the batch's pose rotmats
     with the bbox-geometry PoseRelationModule (:1747-1756), optionally
@@ -259,6 +260,12 @@ def evaluate_model_relate(assets: SMPLAssets, image_root: str,
     Boxes come from ``<boxes_root>/<game>/<scene>/boxes.xml`` with player
     folder names indexing ``index.xml``; without a boxes tree, unit boxes at
     the origin are used (geometry gate becomes uninformative but shapes hold).
+
+    ``relation_params`` is REQUIRED — pass converted reference weights
+    (``io.torch_import.load_relation_checkpoint``) or a trained flax tree.
+    Random init would produce numbers that look like metrics but mean
+    nothing, so it is an error (``allow_random_init=True`` opts out for
+    shape/smoke tests only).
     """
     import flax.linen  # noqa: F401  (ensures flax import errors surface here)
     from soccerplayershapepose_tpu.fit import FitConfig, broad_view_fit
@@ -273,6 +280,13 @@ def evaluate_model_relate(assets: SMPLAssets, image_root: str,
                                    max_players)
 
     if relation_params is None:
+        if not allow_random_init:
+            raise ValueError(
+                "evaluate_model_relate needs trained relation weights: pass "
+                "relation_params (e.g. io.torch_import."
+                "load_relation_checkpoint(path)). Random init is only "
+                "meaningful for smoke tests; opt in with "
+                "allow_random_init=True.")
         rng = jax.random.PRNGKey(0)
         relation_params = relation.init(
             rng, jnp.zeros((1, max_players, 24, 3, 3)),

@@ -77,6 +77,13 @@ class FitConfig:
     # Drop back faces before rasterizing (closed-mesh silhouettes are
     # winding-invariant; ~1.7x less rasterizer work).
     backface_cull: bool = False
+    # single_view_optimization_test parity (player_recon.py:1309-1567):
+    # save_every updates the kept iterate EVERY iteration (bypasses the
+    # all-metrics-improve rule); snapshot_every=K additionally returns the
+    # parameter trajectory sampled every K iterations (run_fit_loop's best
+    # dict gains a "snapshots" pytree stacked on a leading time axis).
+    save_every: bool = False
+    snapshot_every: Optional[int] = None
 
 
 class FitInit(NamedTuple):
@@ -98,6 +105,9 @@ class FitResult(NamedTuple):
     init_silh_iou: jnp.ndarray  # (B,) metrics at iteration 1
     init_joint_err: jnp.ndarray
     best_iter: jnp.ndarray      # (B,) 1-based iteration index of best
+    # Parameter trajectory (leading time axis) when
+    # FitConfig.snapshot_every is set; None otherwise.
+    snapshots: Optional[dict] = None
 
 
 def make_loss_state(use_silhouette: bool):
@@ -226,6 +236,8 @@ def run_fit_loop(assets: SMPLAssets,
             else (j2d_l2, jnp.zeros_like(j2d_l2))
 
         improve = (metrics[0] <= best["m0"]) & (metrics[1] <= best["m1"])
+        if fit_cfg.save_every:
+            improve = jnp.ones_like(improve)
 
         def select(new, old):
             shape = (b,) + (1,) * (new.ndim - 1)
@@ -244,7 +256,8 @@ def run_fit_loop(assets: SMPLAssets,
         }
         updates, new_opt = tx.update(grads, opt_state, trainable)
         new_trainable = optax.apply_updates(trainable, updates)
-        return (new_trainable, new_opt, new_best), None
+        snap = trainable if fit_cfg.snapshot_every else None
+        return (new_trainable, new_opt, new_best), snap
 
     inf = jnp.full((b,), jnp.inf)
     best0 = {"m0": inf, "m1": inf, "iou": jnp.zeros((b,)),
@@ -253,9 +266,12 @@ def run_fit_loop(assets: SMPLAssets,
              "init_joint_err": jnp.zeros((b,))}
 
     seg = fit_cfg.iters_per_call or fit_cfg.iters
+    snaps = []
     if seg >= fit_cfg.iters:
-        (final_trainable, _, best), _ = jax.lax.scan(
+        (final_trainable, _, best), ys = jax.lax.scan(
             step, (trainable, opt_state, best0), jnp.arange(fit_cfg.iters))
+        if ys is not None:
+            snaps.append(ys)
     else:
         # Segmented execution: one jitted scan per `seg` iterations, carry
         # resident on device. Identical numerics; bounds single-program
@@ -269,9 +285,16 @@ def run_fit_loop(assets: SMPLAssets,
         done = 0
         while done < fit_cfg.iters:
             n = min(seg, fit_cfg.iters - done)
-            carry, _ = run_segment(carry, jnp.arange(done, done + n))
+            carry, ys = run_segment(carry, jnp.arange(done, done + n))
+            if ys is not None:
+                snaps.append(ys)
             done += n
         _, _, best = carry
+    if fit_cfg.snapshot_every:
+        traj = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *snaps)
+        best = dict(best, snapshots=jax.tree_util.tree_map(
+            lambda x: x[::fit_cfg.snapshot_every], traj))
     return best["params"], best
 
 

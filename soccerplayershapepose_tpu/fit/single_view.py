@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from soccerplayershapepose_tpu import config as cfg
@@ -78,6 +79,18 @@ def single_view_fit(assets: SMPLAssets,
                                  init.body_pose)
     translation = weak_perspective_to_translation(
         best_params["cam_wp"], fit_cfg.focal_length, fit_cfg.proxy_wh)
+    snapshots = None
+    if best.get("snapshots") is not None:
+        snap = best["snapshots"]   # trainable pytree stacked on (T, B, ...)
+        snapshots = {
+            "body_pose": jax.vmap(splice_body_pose, in_axes=(0, None))(
+                snap["pose_sub"], init.body_pose),
+            "global_orient": snap["global_orient"],
+            "betas": snap["betas"],
+            "cam_wp": snap["cam_wp"],
+            "translation": weak_perspective_to_translation(
+                snap["cam_wp"], fit_cfg.focal_length, fit_cfg.proxy_wh),
+        }
     return FitResult(
         body_pose=body_pose,
         global_orient=best_params["global_orient"],
@@ -89,4 +102,5 @@ def single_view_fit(assets: SMPLAssets,
         init_silh_iou=best["init_iou"],
         init_joint_err=best["init_joint_err"],
         best_iter=best["iter"],
+        snapshots=snapshots,
     )

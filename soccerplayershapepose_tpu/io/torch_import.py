@@ -92,6 +92,13 @@ def convert_ief_head(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
     }
 
 
+def _to_f32(tree):
+    if isinstance(tree, dict):
+        return {k: _to_f32(v) for k, v in tree.items()}
+    import jax.numpy as jnp
+    return jnp.asarray(tree, jnp.float32)
+
+
 def convert_regressor_state_dict(state_dict: Dict) -> dict:
     """Full reference SingleInputRegressor state dict → flax variables
     ({'params', 'batch_stats'}) for the flax SingleInputRegressor."""
@@ -100,14 +107,54 @@ def convert_regressor_state_dict(state_dict: Dict) -> dict:
     ief_params = convert_ief_head(sd, "ief_module.")
     params = {"ResNet_0": enc_params, "IEFModule_0": ief_params}
     stats = {"ResNet_0": enc_stats}
+    return {"params": _to_f32(params), "batch_stats": _to_f32(stats)}
 
-    def to_f32(tree):
-        if isinstance(tree, dict):
-            return {k: to_f32(v) for k, v in tree.items()}
-        import jax.numpy as jnp
-        return jnp.asarray(tree, jnp.float32)
 
-    return {"params": to_f32(params), "batch_stats": to_f32(stats)}
+def convert_relation_state_dict(state_dict: Dict) -> dict:
+    """Reference PoseRelationModule state dict → flax variables for
+    ``models.relation.PoseRelationModule``.
+
+    Handles both reference variants:
+
+    * v0 (``regressor_relate.py``): 27 ``RelationUnit``s, key dim 8,
+      keys ``relation_module.relation.{i}.{WG,WK,WQ,WV}.{weight,bias}``.
+    * v1 (``regressor_relate1.py``): extra ``fc1``/``fc2`` lift layers
+      (216→1024→216), 16 units of dim 64.
+
+    The per-unit ``nn.Linear``s are stacked into the fused DenseGeneral
+    heads of the flax module: torch WK.weight (dk, F) per unit → flax
+    kernel (F, H, dk); torch WG.weight (1, G) per unit → flax kernel (G, H).
+    """
+    sd = _to_numpy(state_dict)
+    pre = "relation_module.relation."
+    units = sorted({int(k[len(pre):].split(".")[0])
+                    for k in sd if k.startswith(pre)})
+    if not units or units != list(range(len(units))):
+        raise ValueError(
+            "state dict does not look like a reference PoseRelationModule "
+            f"(found relation unit indices {units})")
+    h = len(units)
+
+    def stack(name: str, attr: str) -> np.ndarray:
+        return np.stack([sd[f"{pre}{i}.{name}.{attr}"] for i in range(h)])
+
+    params: dict = {}
+    for name in ("WK", "WQ", "WV"):
+        params[name] = {
+            # (H, dk, F) → (F, H, dk)
+            "kernel": stack(name, "weight").transpose(2, 0, 1),
+            "bias": stack(name, "bias"),                    # (H, dk)
+        }
+    params["WG"] = {
+        "kernel": stack("WG", "weight")[:, 0, :].transpose(1, 0),  # (G, H)
+        "bias": stack("WG", "bias")[:, 0],                         # (H,)
+    }
+    if "fc1.weight" in sd:
+        params["lift"] = {"kernel": _linear(sd["fc1.weight"]),
+                          "bias": sd["fc1.bias"]}
+        params["proj_back"] = {"kernel": _linear(sd["fc2.weight"]),
+                               "bias": sd["fc2.bias"]}
+    return {"params": _to_f32(params)}
 
 
 def load_straps_checkpoint(path: str, key: str = "best_model_state_dict") -> dict:
@@ -118,3 +165,15 @@ def load_straps_checkpoint(path: str, key: str = "best_model_state_dict") -> dic
     import torch
     ckpt = torch.load(path, map_location="cpu")
     return convert_regressor_state_dict(ckpt[key])
+
+
+def load_relation_checkpoint(path: str,
+                             key: str = "best_model_state_dict") -> dict:
+    """Load a reference relation-module ``.tar`` checkpoint
+    (``PyTorch3DTest.py:1591`` ``pose_relation.load_state_dict(...)``) and
+    convert it.  Accepts either a checkpoint dict containing ``key`` or a
+    bare state dict."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt[key] if isinstance(ckpt, dict) and key in ckpt else ckpt
+    return convert_relation_state_dict(sd)

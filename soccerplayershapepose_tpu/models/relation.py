@@ -19,8 +19,12 @@ TPU-first re-design: all 27 units run as ONE batched attention with a heads
 axis, and the module is batched over frames with an explicit player-validity
 mask (the reference runs one frame at a time with exactly-N players; frames
 here are padded to ``max_players`` so a whole scene batch compiles once).
-A v1 variant (regressor_relate1.py:19-32) lifts features 216→1024 with 16
-units of dim 64 and projects back — enabled via ``lift_dim=1024``.
+A v1 variant (regressor_relate1.py:19-32) lifts features 216→1024 with
+``fc1`` (NO activation), runs 16 units of dim 64 with the residual added in
+the LIFTED space (regressor_relate1.py:96), and projects back with ``fc2``
+REPLACING the rotmats (no outer residual — regressor_relate1.py:30-32);
+its positional embedding uses dim_g=64 (regressor_relate1.py:34). Enabled
+via ``lift_dim=1024``.
 """
 
 from __future__ import annotations
@@ -98,7 +102,8 @@ class PoseRelationModule(nn.Module):
 
         feats = f_a
         if self.lift_dim is not None:
-            feats = nn.relu(nn.Dense(self.lift_dim, name="lift")(f_a))
+            # Reference fc1 has no activation (regressor_relate1.py:28).
+            feats = nn.Dense(self.lift_dim, name="lift")(f_a)
 
         h, dk = self.n_relations, self.key_dim
         embed = bbox_positional_embedding(boxes, self.geo_dim)        # (B,N,N,G)
@@ -120,7 +125,10 @@ class PoseRelationModule(nn.Module):
 
         out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, n, h * dk)
         if self.lift_dim is not None:
-            out = nn.Dense(self.appearance_dim, name="proj_back")(out)
-
-        refined = jnp.where(mask[..., None], out + f_a, f_a)
+            # v1: residual in LIFTED space, fc2 output REPLACES the rotmats
+            # (regressor_relate1.py:30-32, 96).
+            out = nn.Dense(self.appearance_dim, name="proj_back")(out + feats)
+            refined = jnp.where(mask[..., None], out, f_a)
+        else:
+            refined = jnp.where(mask[..., None], out + f_a, f_a)
         return refined.reshape(b, n, cfg.NUM_JOINTS, 3, 3)

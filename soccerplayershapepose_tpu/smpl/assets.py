@@ -214,7 +214,10 @@ def load_assets(model_dir: Optional[str] = None,
                 else:
                     with open(path, "rb") as f:
                         raw = pickle.load(f, encoding="latin1")
-                    data = {k: np.asarray(v) for k, v in raw.items()
+                    # Keep values as-is: np.asarray would wrap scipy-sparse
+                    # matrices (J_regressor in real SMPL pkls) into 0-d
+                    # object arrays, losing .todense for _dense below.
+                    data = {k: v for k, v in raw.items()
                             if not isinstance(v, str)}
                 break
     if data is None:

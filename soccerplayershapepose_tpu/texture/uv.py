@@ -127,18 +127,43 @@ def _procedural_mapping(normal_res: int, part_res: int):
     return part.astype(np.int32), within_y, within_x
 
 
+def _load_mapping(path: str):
+    """Load a mapping pickle: either this package's dense dict layout
+    ({'part','y','x'} full-grid arrays) or the reference's sparse relation
+    list (Atlas2Normal.py:79-84 / Normal2Atlas.py:88-94 — K entries of 5
+    ints). Returns ('dict', part, y, x) or ('list', (K,5) int array)."""
+    with open(path, "rb") as f:
+        mapping = pickle.load(f)
+    if isinstance(mapping, dict):
+        return ("dict", np.asarray(mapping["part"]), np.asarray(mapping["y"]),
+                np.asarray(mapping["x"]))
+    rel = np.asarray(mapping, np.int64)
+    if rel.ndim != 2 or rel.shape[1] != 5:
+        raise ValueError(
+            f"unrecognized mapping pickle layout: shape {rel.shape}")
+    return ("list", rel)
+
+
 def atlas_to_normal(atlas: jnp.ndarray, normal_res: int = 512,
                     mapping_pickle: Optional[str] = None) -> jnp.ndarray:
     """24-part atlas (24, R, R, 3) → normal UV map (normal_res², 3)
-    (Atlas2Normal.convert, Atlas2Normal.py:25-100). Loads the reference
-    mapping pickle when given; otherwise uses the procedural tiling."""
+    (Atlas2Normal.convert, Atlas2Normal.py:25-100). Loads a reference
+    ``atlas2normal_*.pickle`` relation list ([normal_y, normal_x, part,
+    atlas_i, atlas_j] per entry, applied at Atlas2Normal.py:90-93) or this
+    package's dense dict mapping when given; otherwise the procedural
+    tiling. Values are passed through unscaled (the reference divides by
+    255 only because its atlas is uint8)."""
     r = atlas.shape[1]
     if mapping_pickle:
-        with open(mapping_pickle, "rb") as f:
-            mapping = pickle.load(f)
-        part = jnp.asarray(mapping["part"], jnp.int32)
-        wy = jnp.asarray(mapping["y"], jnp.int32)
-        wx = jnp.asarray(mapping["x"], jnp.int32)
+        loaded = _load_mapping(mapping_pickle)
+        if loaded[0] == "list":
+            rel = loaded[1]
+            normal = jnp.zeros((normal_res, normal_res, atlas.shape[-1]),
+                               atlas.dtype)
+            return normal.at[rel[:, 0], rel[:, 1]].set(
+                atlas[rel[:, 2], rel[:, 3], rel[:, 4]])
+        _, part, wy, wx = loaded
+        part, wy, wx = (jnp.asarray(a, jnp.int32) for a in (part, wy, wx))
     else:
         p, y, x = _procedural_mapping(normal_res, r)
         part, wy, wx = jnp.asarray(p), jnp.asarray(y), jnp.asarray(x)
@@ -157,11 +182,17 @@ def normal_to_atlas(normal: jnp.ndarray, part_res: int = PART_RES,
     """
     res = normal.shape[0]
     if mapping_pickle:
-        with open(mapping_pickle, "rb") as f:
-            mapping = pickle.load(f)
-        part = jnp.asarray(np.asarray(mapping["part"]))
-        wy = jnp.asarray(np.asarray(mapping["y"]))
-        wx = jnp.asarray(np.asarray(mapping["x"]))
+        loaded = _load_mapping(mapping_pickle)
+        if loaded[0] == "list":
+            # Reference normal2atlas relation list: [atlas_i, atlas_j, part,
+            # normal_y, normal_x] applied at Normal2Atlas.py:100-101.
+            rel = loaded[1]
+            atlas = jnp.zeros((NUM_PARTS, part_res, part_res,
+                               normal.shape[-1]), normal.dtype)
+            return atlas.at[rel[:, 2], rel[:, 0], rel[:, 1]].set(
+                normal[rel[:, 3], rel[:, 4]])
+        _, part, wy, wx = (loaded[0], jnp.asarray(loaded[1]),
+                           jnp.asarray(loaded[2]), jnp.asarray(loaded[3]))
         flat = (part * part_res + wy) * part_res + wx
         n = NUM_PARTS * part_res * part_res
         total = jnp.zeros((n, normal.shape[-1])).at[flat.reshape(-1)].add(

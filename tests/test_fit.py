@@ -163,3 +163,82 @@ def test_single_view_fit_with_backface_cull():
     # silhouette union is winding-invariant: IoUs should agree closely
     np.testing.assert_allclose(np.asarray(r1.silh_iou),
                                np.asarray(r0.silh_iou), atol=0.05)
+
+
+@pytest.mark.slow
+def test_snapshot_trajectory_and_save_every():
+    """single_view_optimization_test parity (player_recon.py:1309-1567):
+    save_every keeps the LAST iterate; snapshot_every returns the parameter
+    trajectory, whose first entry is the init and whose entries change."""
+    assets = synthesize_assets()
+    rng = np.random.RandomState(1)
+    b = 2
+    rotmats, betas, cam, j2d = _make_target(assets, rng, b)
+    init = _perturbed_init(rotmats, betas, cam, rng)
+    sil = jnp.zeros((b, 512, 512))
+
+    fit_cfg = FitConfig(iters=12, lr=0.01, use_silhouette=False,
+                        silhouette_metrics=False, save_every=True,
+                        snapshot_every=3, iters_per_call=5)
+    res = single_view_fit(assets, init, sil, j2d, fit_cfg)
+
+    assert res.snapshots is not None
+    snaps = {k: np.asarray(v) for k, v in res.snapshots.items()}
+    assert snaps["body_pose"].shape == (4, b, 23, 3, 3)   # ceil(12/3)
+    assert snaps["cam_wp"].shape == (4, b, 3)
+    # First snapshot is the (pre-update) init.
+    np.testing.assert_allclose(snaps["betas"][0], np.asarray(init.betas),
+                               atol=1e-6)
+    np.testing.assert_allclose(snaps["global_orient"][0],
+                               np.asarray(init.global_orient), atol=1e-6)
+    # Trajectory actually moves.
+    assert np.abs(snaps["cam_wp"][-1] - snaps["cam_wp"][0]).max() > 0
+    # save_every ⇒ best == final iterate (best_iter == iters).
+    np.testing.assert_array_equal(np.asarray(res.best_iter), 12)
+    # Frozen joints frozen in every snapshot too.
+    for j in cfg.FITTING_FROZEN_BODY_JOINTS:
+        np.testing.assert_array_equal(snaps["body_pose"][:, :, j],
+                                      np.broadcast_to(
+                                          np.asarray(init.body_pose[:, j]),
+                                          (4, b, 3, 3)))
+
+
+@pytest.mark.slow
+def test_single_view_optimization_test_stage(tmp_path):
+    """Driver writes per-epoch npz snapshots next to the final result."""
+    import os
+    from soccerplayershapepose_tpu.drivers.stages import (
+        single_view_optimization_test)
+    from soccerplayershapepose_tpu.io import formats as io
+    from soccerplayershapepose_tpu.pipeline.predict import build_predictor
+
+    assets = synthesize_assets()
+    rng = np.random.RandomState(0)
+    ir, pr, rr = (str(tmp_path / d) for d in ("img", "proxy", "res"))
+    for view in ("view_1", "view_2"):
+        d = os.path.join(ir, "g1", "s1", "p1")
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, view + ".png"), "wb").close()
+        pd = os.path.join(pr, "g1", "s1", "p1")
+        os.makedirs(pd, exist_ok=True)
+        np.save(os.path.join(pd, view + "_sil.npy"),
+                (rng.rand(512, 512) > 0.5).astype(np.uint8))
+        io.write_joints2d(os.path.join(pd, view + "_j2d.xml"),
+                     rng.uniform(100, 400, (17, 3)))
+
+    regressor, params, regressor_fn = build_predictor(in_channels=18)
+    out = single_view_optimization_test(
+        assets, ir, pr, rr, params=params, regressor_fn=regressor_fn,
+        fit_cfg=FitConfig(iters=6, use_silhouette=False,
+                          silhouette_metrics=False, iters_per_call=None),
+        batch_size=2, snapshot_every=2)
+    assert out["count"] == 2
+    assert out["snapshots_per_view"] == 3
+    base = os.path.join(rr, "g1", "s1", "p1")
+    assert os.path.exists(os.path.join(base, "view_1.npz"))
+    assert os.path.exists(os.path.join(base, "view_2.npz"))
+    for t in (1, 3, 5):
+        p = os.path.join(base, f"view_2_epoch{t}.npz")
+        assert os.path.exists(p), p
+        data = np.load(p)
+        assert data["body_pose"].shape == (1, 23, 3, 3)

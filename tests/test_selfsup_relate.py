@@ -78,7 +78,11 @@ def test_evaluate_model_relate(tmp_path):
 
     regressor = SingleInputRegressor(in_channels=18)
     state, _ = make_train_state(regressor, jax.random.PRNGKey(0))
+    # Random relation init is rejected without the explicit opt-in.
+    with pytest.raises(ValueError):
+        evaluate_model_relate(assets, ir, pr, tr, state, boxes_root=br,
+                              max_players=4)
     out = evaluate_model_relate(assets, ir, pr, tr, state, boxes_root=br,
-                                max_players=4)
+                                max_players=4, allow_random_init=True)
     assert out["num_players"] == 2
     assert np.isfinite(out["pves"]) and np.isfinite(out["mpjpes_pa"])

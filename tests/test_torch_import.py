@@ -110,3 +110,118 @@ def test_ief_head_conversion_shapes():
     p = convert_ief_head(sd)
     assert p["Dense_0"]["kernel"].shape == (512 + 157, 512)
     assert p["Dense_2"]["kernel"].shape == (512, 157)
+
+
+def _numpy_relation_reference(f_a, boxes, units, dim_g, lift=None):
+    """Independent numpy oracle of the reference PoseRelationModule math
+    (regressor_relate.py:34-139 / regressor_relate1.py 16-unit variant)."""
+    n = f_a.shape[0]
+    x1, y1, x2, y2 = boxes.T
+    cx, cy = (x1 + x2) * 0.5, (y1 + y2) * 0.5
+    w, h = x2 - x1 + 1.0, y2 - y1 + 1.0
+    dx = np.log(np.maximum(np.abs((cx[:, None] - cx[None, :]) / w[:, None]), 1e-3))
+    dy = np.log(np.maximum(np.abs((cy[:, None] - cy[None, :]) / h[:, None]), 1e-3))
+    dw = np.log(w[:, None] / w[None, :])
+    dh = np.log(h[:, None] / h[None, :])
+    pos = np.stack([dx, dy, dw, dh], axis=-1)                  # (N,N,4)
+    n_freq = dim_g // 8
+    inv_freq = 1.0 / np.power(1000.0, np.arange(n_freq) / n_freq)
+    ang = (100.0 * pos[..., None] * inv_freq).reshape(n, n, 4 * n_freq)
+    emb = np.concatenate([np.sin(ang), np.cos(ang)], axis=-1)  # (N,N,dim_g)
+
+    feats = f_a
+    if lift is not None:
+        feats = f_a @ lift["fc1.weight"].T + lift["fc1.bias"]
+
+    outs = []
+    for u in units:
+        dk = u["WK.weight"].shape[0]
+        wg = np.maximum(emb.reshape(-1, dim_g) @ u["WG.weight"].T
+                        + u["WG.bias"], 0.0).reshape(n, n)
+        k = feats @ u["WK.weight"].T + u["WK.bias"]
+        q = feats @ u["WQ.weight"].T + u["WQ.bias"]
+        v = feats @ u["WV.weight"].T + u["WV.bias"]
+        logits = (k @ q.T) / np.sqrt(dk) + np.log(np.maximum(wg, 1e-6))
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        attn = e / e.sum(axis=1, keepdims=True)
+        outs.append(attn @ v)
+    concat = np.concatenate(outs, axis=-1) + feats
+    if lift is not None:
+        concat = concat @ lift["fc2.weight"].T + lift["fc2.bias"]
+    return concat.reshape(n, 24, 3, 3)
+
+
+def _make_relation_sd(rng, n_units, dk, dim_g, feat_dim, lift_dim=None):
+    sd = {}
+    d_in = lift_dim if lift_dim else feat_dim
+    for i in range(n_units):
+        p = f"relation_module.relation.{i}."
+        sd[p + "WG.weight"] = rng.randn(1, dim_g).astype(np.float32)
+        sd[p + "WG.bias"] = rng.randn(1).astype(np.float32)
+        for nm in ("WK", "WQ", "WV"):
+            sd[p + nm + ".weight"] = (rng.randn(dk, d_in) / np.sqrt(d_in)
+                                      ).astype(np.float32)
+            sd[p + nm + ".bias"] = rng.randn(dk).astype(np.float32) * 0.1
+    if lift_dim:
+        sd["fc1.weight"] = (rng.randn(lift_dim, feat_dim)
+                            / np.sqrt(feat_dim)).astype(np.float32)
+        sd["fc1.bias"] = rng.randn(lift_dim).astype(np.float32) * 0.1
+        sd["fc2.weight"] = (rng.randn(feat_dim, lift_dim)
+                            / np.sqrt(lift_dim)).astype(np.float32)
+        sd["fc2.bias"] = rng.randn(feat_dim).astype(np.float32) * 0.1
+    return sd
+
+
+@pytest.mark.parametrize("variant", ["v0", "v1"])
+def test_relation_import_parity(variant):
+    from soccerplayershapepose_tpu.io.torch_import import (
+        convert_relation_state_dict)
+    from soccerplayershapepose_tpu.models.relation import PoseRelationModule
+
+    rng = np.random.RandomState(3)
+    n = 4
+    f_a = rng.randn(n, 216).astype(np.float32) * 0.3
+    xy = rng.uniform(0, 300, (n, 2))
+    wh = rng.uniform(40, 200, (n, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+
+    if variant == "v0":
+        n_units, dk, dim_g, lift_dim = 27, 8, 8, None
+        mod = PoseRelationModule()
+    else:
+        n_units, dk, dim_g, lift_dim = 16, 64, 64, 1024
+        mod = PoseRelationModule(n_relations=16, key_dim=64, geo_dim=64,
+                                 lift_dim=1024)
+    sd = _make_relation_sd(rng, n_units, dk, dim_g, 216, lift_dim)
+    variables = convert_relation_state_dict(sd)
+
+    units = [{k[len(f"relation_module.relation.{i}."):]: v
+              for k, v in sd.items()
+              if k.startswith(f"relation_module.relation.{i}.")}
+             for i in range(n_units)]
+    lift = ({"fc1.weight": sd["fc1.weight"], "fc1.bias": sd["fc1.bias"],
+             "fc2.weight": sd["fc2.weight"], "fc2.bias": sd["fc2.bias"]}
+            if lift_dim else None)
+    # valid boxes (x2>x1) keep the geometry logs finite, so equal_nan in
+    # assert_allclose cannot mask a broken conversion
+    want = _numpy_relation_reference(f_a.astype(np.float64),
+                                     boxes.astype(np.float64),
+                                     units, dim_g, lift)
+
+    assert np.isfinite(want).all()
+    got = mod.apply(variables, jnp.asarray(f_a.reshape(1, n, 24, 3, 3)),
+                    jnp.asarray(boxes[None]))
+    np.testing.assert_allclose(np.asarray(got)[0], want, atol=2e-4)
+
+
+def test_load_relation_checkpoint_roundtrip(tmp_path):
+    from soccerplayershapepose_tpu.io.torch_import import (
+        load_relation_checkpoint)
+    rng = np.random.RandomState(0)
+    sd = _make_relation_sd(rng, 27, 8, 8, 216)
+    tsd = {k: torch.from_numpy(v) for k, v in sd.items()}
+    path = str(tmp_path / "relate.tar")
+    torch.save({"best_model_state_dict": tsd}, path)
+    variables = load_relation_checkpoint(path)
+    assert variables["params"]["WK"]["kernel"].shape == (216, 27, 8)
+    assert variables["params"]["WG"]["kernel"].shape == (8, 27)
