@@ -79,6 +79,26 @@ def bench_fit():
     }))
 
 
+def _fit_bench_subprocess(timeout_s: float = 900.0):
+    """Run the fit benchmark in a crash-isolated subprocess (long silhouette
+    fits are the programs that fault the remote worker) and return its
+    parsed JSON dict, or None on any failure."""
+    import subprocess
+    import sys
+    env = dict(os.environ, BENCH_MODE="fit", _BENCH_TRY="9")
+    try:
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=timeout_s)
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except Exception:
+        pass
+    return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -121,12 +141,22 @@ def main():
 
     crops_per_sec = batch * iters / dt
     baseline = 500.0
-    print(json.dumps({
+    record = {
         "metric": "player crops/sec/chip (crop->SMPL mesh, batch %d, %s convs)" % (batch, dtype),
         "value": round(crops_per_sec, 1),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / baseline, 3),
-    }))
+    }
+    # BASELINE config-4 number in the same record (VERDICT r1 #6). Runs in
+    # a subprocess so a fitting-induced worker fault cannot lose the
+    # headline number; skippable for quick local runs.
+    if os.environ.get("BENCH_SKIP_FIT") != "1":
+        fit = _fit_bench_subprocess()
+        if fit is not None:
+            record["fit_metric"] = fit["metric"]
+            record["fit_value"] = fit["value"]
+            record["fit_unit"] = fit["unit"]
+    print(json.dumps(record))
 
 
 def _run_with_retries(attempts: int = 3):

@@ -74,9 +74,12 @@ class FitConfig:
     # Rasterizer faces per scan step: bounds the (B, chunk, pixels) loss-path
     # intermediates (backward memory scales with it).
     faces_per_chunk: int = 16
-    # Drop back faces before rasterizing (closed-mesh silhouettes are
-    # winding-invariant; ~1.7x less rasterizer work).
-    backface_cull: bool = False
+    # Drop back faces before rasterizing. Closed-mesh silhouettes come from
+    # front faces alone (the reference NMR is z-buffered, so back faces never
+    # contributed there either); composes with the Pallas kernels via the
+    # degenerate-sentinel band skip. Measured v5e 256² b22: 3.8x fwd / 2.1x
+    # grad over no-cull, 99.99% hard-pixel agreement.
+    backface_cull: bool = True
     # single_view_optimization_test parity (player_recon.py:1309-1567):
     # save_every updates the kept iterate EVERY iteration (bypasses the
     # all-metrics-improve rule); snapshot_every=K additionally returns the

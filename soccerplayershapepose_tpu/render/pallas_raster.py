@@ -93,44 +93,32 @@ def _band_kernel(ymin_ref, ymax_ref, tri_ref, out_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("img_wh", "sigma", "band_h",
-                                             "chunk", "interpret"))
+                                             "chunk", "interpret",
+                                             "backface_cull"))
 def soft_silhouette_pallas(verts2d: jnp.ndarray,
                            faces: jnp.ndarray,
                            img_wh: int,
                            sigma: float = 1e-5,
                            band_h: int = 32,
                            chunk: int = 8,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           backface_cull: bool = False) -> jnp.ndarray:
     """Pallas-accelerated forward soft silhouette.
 
     Args/semantics identical to ``softras.soft_silhouette`` (shared faces
     only). ``interpret=True`` runs the kernel in the Pallas interpreter
-    (for CPU tests).
+    (for CPU tests). ``backface_cull`` drops back faces via the degenerate
+    sentinel (see :func:`_sorted_tri_and_ranges`) — the banded skip then
+    avoids their work without per-sample face indices.
     """
     b, _, _ = verts2d.shape
-    f = faces.shape[0]
     sigma_px = float(sigma) * (img_wh / 2.0) ** 2
     # sigmoid(−d²/σ) < 2e-9 once d² > 20σ: pad the band overlap test by that
     # support radius so skipped chunks are provably irrelevant.
     margin = (20.0 * sigma_px) ** 0.5 + 2.0
 
-    tri = verts2d[:, faces].reshape(b, f, 6)              # (B, F, 6)
-    ys = tri[..., 1::2]                                   # (B, F, 3)
-    order = jnp.argsort(jnp.min(ys, axis=-1), axis=-1)    # sort by min-y
-    tri = jnp.take_along_axis(tri, order[..., None], axis=1)
-
-    n_chunks = -(-f // chunk)
-    pad = n_chunks * chunk - f
-    if pad:
-        # padded faces: degenerate (zeros) and y-range that never overlaps
-        tri = jnp.concatenate(
-            [tri, jnp.full((b, pad, 6), -1e9, tri.dtype)], axis=1)
-    ys_sorted = tri[..., 1::2]
-    cymin = jnp.min(ys_sorted.reshape(b, n_chunks, chunk, 3), axis=(2, 3))
-    cymax = jnp.max(ys_sorted.reshape(b, n_chunks, chunk, 3), axis=(2, 3))
-    # padded chunks carry -1e9 max → never overlap any band
-    cymin_i = jnp.floor(cymin).astype(jnp.int32)
-    cymax_i = jnp.ceil(jnp.where(cymax < -1e8, -1e9, cymax)).astype(jnp.int32)
+    tri, _, cymin_i, cymax_i, n_chunks = _sorted_tri_and_ranges(
+        verts2d, faces, chunk, backface_cull)
 
     n_bands = -(-img_wh // band_h)
     kernel = functools.partial(
@@ -158,11 +146,27 @@ def soft_silhouette_pallas(verts2d: jnp.ndarray,
     return out[:, :img_wh]
 
 
-def _sorted_tri_and_ranges(verts2d, faces, chunk):
-    """Shared fwd/bwd preprocessing: y-sorted padded tri + chunk y-ranges."""
+def _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull=False,
+                           keep_fraction=0.6):
+    """Shared fwd/bwd preprocessing: y-sorted padded tri + chunk y-ranges.
+
+    ``backface_cull`` composes culling with the banded kernel (shared-face
+    layout preserved): back faces — per sample, signed screen area below the
+    (1−keep_fraction) quantile, the same keep set as ``softras.cull_backfaces``
+    — are overwritten with the -1e9 degenerate sentinel. The min-y sort then
+    clusters them into leading chunks whose y-range overlaps no band, so the
+    kernel skips their work entirely (and they receive zero gradient)."""
     b = verts2d.shape[0]
     f = faces.shape[0]
     tri = verts2d[:, faces].reshape(b, f, 6)
+    if backface_cull:
+        ax, ay = tri[..., 0], tri[..., 1]
+        bx, by = tri[..., 2], tri[..., 3]
+        cx, cy = tri[..., 4], tri[..., 5]
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)   # (B, F)
+        thresh = jnp.quantile(area, 1.0 - keep_fraction, axis=-1,
+                              keepdims=True)
+        tri = jnp.where((area >= thresh)[..., None], tri, -1e9)
     order = jnp.argsort(jnp.min(tri[..., 1::2], axis=-1), axis=-1)
     tri = jnp.take_along_axis(tri, order[..., None], axis=1)
     n_chunks = -(-f // chunk)
@@ -187,40 +191,51 @@ import os as _os
 _USE_PALLAS_BWD = _os.environ.get("SPT_PALLAS_BWD", "1") != "0"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def soft_silhouette_fast(verts2d, faces, img_wh, sigma=1e-5, band_h=32,
-                         chunk=8, interpret=False):
+                         chunk=8, interpret=False, backface_cull=False):
     """Pallas-accelerated soft silhouette (fast forward; safe backward).
 
     Forward: the banded face-skipping kernel (~8x over XLA on v5e at 512²).
     Backward: XLA-recompute autodiff by default (see _USE_PALLAS_BWD); the
     matching Pallas backward kernel (chunk-skip pruning, dL/ds = g·(1−S)·D/σ,
     envelope theorem on the clamped point-segment projection) is available
-    and parity-tested in interpreter mode.
+    and parity-tested in interpreter mode. ``backface_cull`` composes with
+    both passes (culled faces do no work and get zero gradient).
     """
     return soft_silhouette_pallas(verts2d, faces, img_wh, sigma=sigma,
                                   band_h=band_h, chunk=chunk,
-                                  interpret=interpret)
+                                  interpret=interpret,
+                                  backface_cull=backface_cull)
 
 
-def _fast_fwd(verts2d, faces, img_wh, sigma, band_h, chunk, interpret):
+def _fast_fwd(verts2d, faces, img_wh, sigma, band_h, chunk, interpret,
+              backface_cull):
     s = soft_silhouette_pallas(verts2d, faces, img_wh, sigma=sigma,
                                band_h=band_h, chunk=chunk,
-                               interpret=interpret)
+                               interpret=interpret,
+                               backface_cull=backface_cull)
     return s, (verts2d, faces, s)
 
 
-def _fast_bwd(img_wh, sigma, band_h, chunk, interpret, res, g):
+def _fast_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull, res, g):
     if not (_USE_PALLAS_BWD or interpret):
-        from soccerplayershapepose_tpu.render.softras import soft_silhouette
+        from soccerplayershapepose_tpu.render.softras import (
+            cull_backfaces, soft_silhouette)
         verts2d, faces, _ = res
-        _, vjp = jax.vjp(
-            lambda v: soft_silhouette(v, faces, img_wh, sigma=sigma), verts2d)
+
+        def render(v):
+            fc = cull_backfaces(v, faces) if backface_cull else faces
+            return soft_silhouette(v, fc, img_wh, sigma=sigma)
+
+        _, vjp = jax.vjp(render, verts2d)
         return (vjp(g)[0], None)
-    return _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, res, g)
+    return _pallas_bwd(img_wh, sigma, band_h, chunk, interpret,
+                       backface_cull, res, g)
 
 
-def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, res, g):
+def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull,
+                res, g):
     verts2d, faces, s = res
     b, v, _ = verts2d.shape
     f = faces.shape[0]
@@ -228,7 +243,7 @@ def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, res, g):
     margin = (20.0 * sigma_px) ** 0.5 + 2.0
 
     tri, order, cymin_i, cymax_i, n_chunks = _sorted_tri_and_ranges(
-        verts2d, faces, chunk)
+        verts2d, faces, chunk, backface_cull)
 
     gs = (g * (1.0 - s)).astype(jnp.float32)              # dL/dA per pixel
     n_bands = -(-img_wh // band_h)

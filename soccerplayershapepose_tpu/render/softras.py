@@ -238,11 +238,16 @@ def render_silhouette(vertices: jnp.ndarray,
                                   focal_length=focal_length, img_wh=img_wh)
     if render_wh != img_wh:
         verts2d = verts2d * (render_wh / img_wh)
-    if use_pallas and not backface_cull:
-        # Pallas fast path (fwd+bwd kernels; shared-face layout only).
+    if use_pallas:
+        # Pallas fast path (fwd+bwd kernels). Backface culling composes via
+        # the degenerate-sentinel rewrite inside the kernel preprocessing
+        # (pallas_raster._sorted_tri_and_ranges) — culled faces sort into
+        # chunks no band visits.
         from soccerplayershapepose_tpu.render.pallas_raster import (
             soft_silhouette_fast)
-        return soft_silhouette_fast(verts2d, faces, render_wh, sigma)
+        # positional args: custom_vjp functions reject kwargs
+        return soft_silhouette_fast(verts2d, faces, render_wh, sigma,
+                                    32, 8, False, backface_cull)
     if backface_cull:
         faces = cull_backfaces(verts2d, faces)
     return soft_silhouette(verts2d, faces, render_wh, sigma=sigma,
