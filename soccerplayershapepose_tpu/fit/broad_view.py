@@ -23,6 +23,11 @@ from soccerplayershapepose_tpu.ops.camera import weak_perspective_to_translation
 from soccerplayershapepose_tpu.smpl.assets import SMPLAssets
 
 
+def _assemble_broad(t, f):
+    """Module-level assemble (identity keys the engine's compile cache)."""
+    return f["body_pose"], t["global_orient"], f["betas"], t["cam_wp"]
+
+
 def broad_view_fit(assets: SMPLAssets,
                    body_pose: jnp.ndarray,       # (B, 23, 3, 3) fixed
                    betas: jnp.ndarray,           # (B, 10) fixed
@@ -38,10 +43,8 @@ def broad_view_fit(assets: SMPLAssets,
     trainable = {"global_orient": orient_init, "cam_wp": cam_init}
     frozen = {"body_pose": body_pose, "betas": betas}
 
-    def assemble(t, f):
-        return f["body_pose"], t["global_orient"], f["betas"], t["cam_wp"]
-
-    best_params, best = run_fit_loop(assets, trainable, frozen, assemble,
+    best_params, best = run_fit_loop(assets, trainable, frozen,
+                                     _assemble_broad,
                                      silhouette, joints2d, fit_cfg, mask)
 
     translation = weak_perspective_to_translation(

@@ -184,77 +184,85 @@ def evaluate_fit(assets: SMPLAssets, body_pose, global_orient, betas, cam_wp,
             "translation": translation, "vertices": out.vertices}
 
 
-def run_fit_loop(assets: SMPLAssets,
-                 trainable: dict,
-                 frozen: dict,
-                 assemble,
-                 target_silhouette: jnp.ndarray,
-                 target_joints2d: jnp.ndarray,
-                 fit_cfg: FitConfig,
-                 mask: Optional[jnp.ndarray] = None):
-    """Generic fitting loop under one lax.scan.
+# Compiled-segment cache. Keyed on (assemble function identity, fit_cfg,
+# group_size): every array the loop touches is a jit ARGUMENT, never a
+# closure constant. Closing over device arrays would (a) re-trace and
+# re-compile on EVERY stage call because fresh target arrays become fresh
+# constants (measured: 10.9 s per 25-iter joints-only segment vs 0.4 s
+# compute), and (b) risk FAILED_PRECONDITION constant-folding on this TPU
+# backend (.claude/skills/verify/SKILL.md). Stage assemble fns must be
+# module-level so their identity is stable across calls.
+_RUNNER_CACHE: dict = {}
 
-    Args:
-      trainable: pytree of optimized tensors (batched on axis 0).
-      frozen: pytree of constants the assembler needs.
-      assemble: fn(trainable, frozen) → (body_pose, global_orient, betas,
-        cam_wp) — stage-specific parameter assembly (e.g. hands/feet splice).
-      mask: (B,) 1.0 for real players; padded players contribute no loss.
 
-    Returns:
-      (best trainable pytree, FitResult-style dict of best metrics).
-    """
-    losses_on, log_vars = make_loss_state(fit_cfg.use_silhouette)
+def _segment_runner(assemble, fit_cfg: FitConfig, group_size: int):
+    key = (assemble, fit_cfg, group_size)
+    runner = _RUNNER_CACHE.get(key)
+    if runner is not None:
+        return runner
+
+    losses_on, _ = make_loss_state(fit_cfg.use_silhouette)
     loss_cfg = MultiTaskLossConfig(losses_on=losses_on)
     tx = optax.adam(fit_cfg.lr)
-    opt_state = tx.init(trainable)
 
-    b = target_joints2d.shape[0]
-    if mask is None:
-        mask = jnp.ones((b,), jnp.float32)
-
-    def loss_fn(trainable):
-        body_pose, global_orient, betas, cam_wp = assemble(trainable, frozen)
-        ev = evaluate_fit(assets, body_pose, global_orient, betas, cam_wp,
-                          target_silhouette, target_joints2d, fit_cfg)
-        outputs = {"joints2D": ev["pred_j2d"] * mask[:, None, None]}
-        labels = {"joints2D": target_joints2d[..., :2] * mask[:, None, None]}
-        if fit_cfg.use_silhouette:
-            outputs["silhouette"] = ev["pred_sil"] * mask[:, None, None]
-            labels["silhouette"] = ev["target_sil"] * mask[:, None, None]
-        total, _ = multi_task_loss(log_vars, outputs, labels, loss_cfg)
-        return total, ev
-
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-    def step(carry, it):
+    def step(assets, frozen, target_silhouette, target_joints2d, row_mask,
+             metric_w, log_vars, carry, it):
         trainable, opt_state, best = carry
-        (_, ev), grads = grad_fn(trainable)
+        rows = target_joints2d.shape[0]
+        groups = rows // group_size
+
+        def loss_fn(trainable):
+            body_pose, global_orient, betas, cam_wp = assemble(trainable,
+                                                               frozen)
+            ev = evaluate_fit(assets, body_pose, global_orient, betas,
+                              cam_wp, target_silhouette, target_joints2d,
+                              fit_cfg)
+            outputs = {"joints2D": ev["pred_j2d"] * row_mask[:, None, None]}
+            labels = {"joints2D":
+                      target_joints2d[..., :2] * row_mask[:, None, None]}
+            if fit_cfg.use_silhouette:
+                outputs["silhouette"] = ev["pred_sil"] * row_mask[:, None, None]
+                labels["silhouette"] = ev["target_sil"] * row_mask[:, None, None]
+            total, _ = multi_task_loss(log_vars, outputs, labels, loss_cfg)
+            return total, ev
+
+        (_, ev), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+
+        def reduce_groups(x):
+            """(rows,) → (groups,) weighted mean (views/frames per player)."""
+            if group_size == 1:
+                return x
+            xw = (x * metric_w).reshape(groups, group_size)
+            w = metric_w.reshape(groups, group_size)
+            return jnp.sum(xw, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1.0)
 
         # Tracked save metrics (reference init_loss_and_metric): per-sample
         # mean-per-joint 2D L2 (float pred) + silhouette BCE score.
-        j2d_l2 = jnp.mean(jnp.linalg.norm(
-            ev["pred_j2d"] - target_joints2d[..., :2], axis=-1), axis=-1)
-        metrics = (j2d_l2, ev["bce_score"]) if fit_cfg.use_silhouette \
-            else (j2d_l2, jnp.zeros_like(j2d_l2))
+        j2d_l2 = reduce_groups(jnp.mean(jnp.linalg.norm(
+            ev["pred_j2d"] - target_joints2d[..., :2], axis=-1), axis=-1))
+        bce = reduce_groups(ev["bce_score"]) if fit_cfg.use_silhouette \
+            else jnp.zeros_like(j2d_l2)
+        iou = reduce_groups(ev["iou"])
+        jerr = reduce_groups(ev["joint_err"])
 
-        improve = (metrics[0] <= best["m0"]) & (metrics[1] <= best["m1"])
+        improve = (j2d_l2 <= best["m0"]) & (bce <= best["m1"])
         if fit_cfg.save_every:
             improve = jnp.ones_like(improve)
 
         def select(new, old):
-            shape = (b,) + (1,) * (new.ndim - 1)
+            shape = (groups,) + (1,) * (new.ndim - 1)
             return jnp.where(improve.reshape(shape), new, old)
 
         new_best = {
-            "m0": jnp.where(improve, metrics[0], best["m0"]),
-            "m1": jnp.where(improve, metrics[1], best["m1"]),
-            "iou": jnp.where(improve, ev["iou"], best["iou"]),
-            "joint_err": jnp.where(improve, ev["joint_err"], best["joint_err"]),
+            "m0": jnp.where(improve, j2d_l2, best["m0"]),
+            "m1": jnp.where(improve, bce, best["m1"]),
+            "iou": jnp.where(improve, iou, best["iou"]),
+            "joint_err": jnp.where(improve, jerr, best["joint_err"]),
             "iter": jnp.where(improve, it + 1, best["iter"]),
-            "params": jax.tree_util.tree_map(select, trainable, best["params"]),
-            "init_iou": jnp.where(it == 0, ev["iou"], best["init_iou"]),
-            "init_joint_err": jnp.where(it == 0, ev["joint_err"],
+            "params": jax.tree_util.tree_map(select, trainable,
+                                             best["params"]),
+            "init_iou": jnp.where(it == 0, iou, best["init_iou"]),
+            "init_joint_err": jnp.where(it == 0, jerr,
                                         best["init_joint_err"]),
         }
         updates, new_opt = tx.update(grads, opt_state, trainable)
@@ -262,37 +270,81 @@ def run_fit_loop(assets: SMPLAssets,
         snap = trainable if fit_cfg.snapshot_every else None
         return (new_trainable, new_opt, new_best), snap
 
-    inf = jnp.full((b,), jnp.inf)
-    best0 = {"m0": inf, "m1": inf, "iou": jnp.zeros((b,)),
-             "joint_err": jnp.zeros((b,)), "iter": jnp.zeros((b,), jnp.int32),
-             "params": trainable, "init_iou": jnp.zeros((b,)),
-             "init_joint_err": jnp.zeros((b,))}
+    @jax.jit
+    def runner(assets, carry, its, frozen, target_silhouette,
+               target_joints2d, row_mask, metric_w, log_vars):
+        def body(c, it):
+            return step(assets, frozen, target_silhouette, target_joints2d,
+                        row_mask, metric_w, log_vars, c, it)
+        return jax.lax.scan(body, carry, its)
 
+    _RUNNER_CACHE[key] = runner
+    return runner
+
+
+def run_fit_loop(assets: SMPLAssets,
+                 trainable: dict,
+                 frozen: dict,
+                 assemble,
+                 target_silhouette: jnp.ndarray,
+                 target_joints2d: jnp.ndarray,
+                 fit_cfg: FitConfig,
+                 mask: Optional[jnp.ndarray] = None,
+                 group_size: int = 1,
+                 metric_weights: Optional[jnp.ndarray] = None):
+    """Generic fitting loop: compiled scan segments from a process-wide cache.
+
+    Args:
+      trainable: pytree of optimized tensors (leading axis = player groups).
+      frozen: pytree of constants the assembler needs (jit arguments).
+      assemble: MODULE-LEVEL fn(trainable, frozen) → (body_pose,
+        global_orient, betas, cam_wp) over the flat row batch — its identity
+        keys the compile cache, so per-call closures would defeat it.
+      mask: (rows,) 1.0 for real rows; padded rows contribute no loss.
+      group_size: rows per player (views/frames); metrics and best-iterate
+        selection are reduced per group.
+      metric_weights: (rows,) weights for the per-group metric mean
+        (e.g. frame masks); defaults to 1.
+
+    Returns:
+      (best trainable pytree, FitResult-style dict of best metrics, with
+      (groups,) metric shapes).
+    """
+    _, log_vars = make_loss_state(fit_cfg.use_silhouette)
+    tx = optax.adam(fit_cfg.lr)
+    opt_state = tx.init(trainable)
+
+    rows = target_joints2d.shape[0]
+    groups = rows // group_size
+    if mask is None:
+        mask = jnp.ones((rows,), jnp.float32)
+    if metric_weights is None:
+        metric_weights = jnp.ones((rows,), jnp.float32)
+
+    inf = jnp.full((groups,), jnp.inf)
+    best0 = {"m0": inf, "m1": inf, "iou": jnp.zeros((groups,)),
+             "joint_err": jnp.zeros((groups,)),
+             "iter": jnp.zeros((groups,), jnp.int32),
+             "params": trainable, "init_iou": jnp.zeros((groups,)),
+             "init_joint_err": jnp.zeros((groups,))}
+
+    runner = _segment_runner(assemble, fit_cfg, group_size)
+    carry = (trainable, opt_state, best0)
+    # Segmented execution: one compiled scan per `iters_per_call` iterations,
+    # carry resident on device. Identical numerics; bounds single-program
+    # runtime (the remote TPU worker tolerates short executions better).
     seg = fit_cfg.iters_per_call or fit_cfg.iters
     snaps = []
-    if seg >= fit_cfg.iters:
-        (final_trainable, _, best), ys = jax.lax.scan(
-            step, (trainable, opt_state, best0), jnp.arange(fit_cfg.iters))
+    done = 0
+    while done < fit_cfg.iters:
+        n = min(seg, fit_cfg.iters - done)
+        carry, ys = runner(assets, carry, jnp.arange(done, done + n), frozen,
+                           target_silhouette, target_joints2d, mask,
+                           metric_weights, log_vars)
         if ys is not None:
             snaps.append(ys)
-    else:
-        # Segmented execution: one jitted scan per `seg` iterations, carry
-        # resident on device. Identical numerics; bounds single-program
-        # runtime (the remote TPU worker tolerates short executions better)
-        # and allows host-side progress inspection between segments.
-        @jax.jit
-        def run_segment(carry, its):
-            return jax.lax.scan(step, carry, its)
-
-        carry = (trainable, opt_state, best0)
-        done = 0
-        while done < fit_cfg.iters:
-            n = min(seg, fit_cfg.iters - done)
-            carry, ys = run_segment(carry, jnp.arange(done, done + n))
-            if ys is not None:
-                snaps.append(ys)
-            done += n
-        _, _, best = carry
+        done += n
+    _, _, best = carry
     if fit_cfg.snapshot_every:
         traj = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *snaps)

@@ -26,18 +26,15 @@ per-player aggregation is the faithful batched analogue).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional
 
-import jax
 import jax.numpy as jnp
-import optax
 
 from soccerplayershapepose_tpu import config as cfg
 from soccerplayershapepose_tpu.fit.engine import (
-    FitConfig, evaluate_fit, make_loss_state)
+    FitConfig, evaluate_fit, run_fit_loop)
 from soccerplayershapepose_tpu.fit.single_view import splice_body_pose, _TRAIN
-from soccerplayershapepose_tpu.losses.multi_task import (
-    MultiTaskLossConfig, multi_task_loss)
 from soccerplayershapepose_tpu.ops.camera import weak_perspective_to_translation
 from soccerplayershapepose_tpu.smpl.assets import SMPLAssets
 
@@ -64,6 +61,27 @@ def _flat(x):
     return x.reshape((-1,) + x.shape[2:])
 
 
+def _assemble_mv_a(t, f):
+    """Phase A: per-view [orient, cam] trainable; shared pose/betas frozen.
+    Module-level (identity keys the engine's compile cache)."""
+    b, v = t["orient"].shape[:2]
+    pose = splice_body_pose(f["pose_sub"], f["pose_init"])        # (B,23,3,3)
+    return (jnp.repeat(pose, v, axis=0),
+            t["orient"].reshape(b * v, 1, 3, 3),
+            jnp.repeat(f["betas"], v, axis=0),
+            t["cam"].reshape(b * v, 3))
+
+
+def _assemble_mv_b(t, f):
+    """Phase B: shared [pose_sub, betas] trainable; cameras frozen."""
+    b, v = f["orient"].shape[:2]
+    pose = splice_body_pose(t["pose_sub"], f["pose_init"])
+    return (jnp.repeat(pose, v, axis=0),
+            f["orient"].reshape(b * v, 1, 3, 3),
+            jnp.repeat(t["betas"], v, axis=0),
+            f["cam"].reshape(b * v, 3))
+
+
 def multi_view_fit(assets: SMPLAssets,
                    init: MultiViewInit,
                    silhouettes: jnp.ndarray,     # (B, V, wh, wh)
@@ -73,13 +91,11 @@ def multi_view_fit(assets: SMPLAssets,
                    iters_per_phase: int = cfg.MULTI_VIEW_ITERS,
                    mask: Optional[jnp.ndarray] = None) -> MultiViewResult:
     fit_cfg = fit_cfg or FitConfig(iters=iters_per_phase)
+    phase_cfg = dataclasses.replace(fit_cfg, iters=iters_per_phase)
     b, v = init.cam_wp.shape[:2]
     if mask is None:
         mask = jnp.ones((b,), jnp.float32)
     view_mask = jnp.repeat(mask, v)
-
-    losses_on, log_vars = make_loss_state(fit_cfg.use_silhouette)
-    loss_cfg = MultiTaskLossConfig(losses_on=losses_on)
 
     sil_flat = _flat(silhouettes)
     j2d_flat = _flat(joints2d)
@@ -90,89 +106,30 @@ def multi_view_fit(assets: SMPLAssets,
     orient = init.global_orient                            # (B, V, 1, 3, 3)
     cam_wp = init.cam_wp                                   # (B, V, 3)
 
-    def view_expand(x):
-        """(B, ...) → (B·V, ...) by repeating each player for its views."""
-        return jnp.repeat(x, v, axis=0)
-
-    def total_loss(body_pose_b, betas_b, orient_bv, cam_bv):
-        ev = evaluate_fit(assets, view_expand(body_pose_b),
-                          _flat(orient_bv), view_expand(betas_b),
-                          _flat(cam_bv), sil_flat, j2d_flat, fit_cfg)
-        outputs = {"joints2D": ev["pred_j2d"] * view_mask[:, None, None]}
-        labels = {"joints2D": j2d_flat[..., :2] * view_mask[:, None, None]}
-        if fit_cfg.use_silhouette:
-            outputs["silhouette"] = ev["pred_sil"] * view_mask[:, None, None]
-            labels["silhouette"] = ev["target_sil"] * view_mask[:, None, None]
-        total, _ = multi_task_loss(log_vars, outputs, labels, loss_cfg)
-        return total, ev
-
-    def per_player_metrics(ev):
-        j2d_l2 = jnp.mean(jnp.linalg.norm(
-            ev["pred_j2d"] - j2d_flat[..., :2], axis=-1), axis=-1)
-        m0 = jnp.mean(j2d_l2.reshape(b, v), axis=1)
-        m1 = jnp.mean(ev["bce_score"].reshape(b, v), axis=1)
-        return m0, m1
-
-    def run_phase(trainable, others, assemble, n_iters):
-        """Generic phase: optimize `trainable`, keep per-player best."""
-        tx = optax.adam(fit_cfg.lr)
-        opt_state = tx.init(trainable)
-
-        def loss_fn(t):
-            return total_loss(*assemble(t, others))
-
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-        def step(carry, _):
-            t, opt_state, best = carry
-            (_, ev), grads = grad_fn(t)
-            m0, m1 = per_player_metrics(ev)
-            improve = (m0 <= best["m0"]) & (m1 <= best["m1"])
-
-            def select(new, old):
-                shape = (b,) + (1,) * (new.ndim - 1)
-                return jnp.where(improve.reshape(shape), new, old)
-
-            new_best = {"m0": jnp.where(improve, m0, best["m0"]),
-                        "m1": jnp.where(improve, m1, best["m1"]),
-                        "params": jax.tree_util.tree_map(
-                            lambda n, o: select(n, o),
-                            t, best["params"])}
-            updates, new_opt = tx.update(grads, opt_state, t)
-            return (optax.apply_updates(t, updates), new_opt, new_best), None
-
-        inf = jnp.full((b,), jnp.inf)
-        best0 = {"m0": inf, "m1": inf, "params": trainable}
-        (_, _, best), _ = jax.lax.scan(
-            step, (trainable, opt_state, best0), None, length=n_iters)
-        return best["params"]
-
     pose_sub = shared_pose[:, _TRAIN]
     for _ in range(rounds):
         # Phase A: per-view cameras + global orientations.
-        a_best = run_phase(
-            {"orient": orient, "cam": cam_wp},
+        a_params, _ = run_fit_loop(
+            assets, {"orient": orient, "cam": cam_wp},
             {"pose_sub": pose_sub, "betas": shared_betas,
              "pose_init": shared_pose},
-            lambda t, o: (splice_body_pose(o["pose_sub"], o["pose_init"]),
-                          o["betas"], t["orient"], t["cam"]),
-            iters_per_phase)
-        orient, cam_wp = a_best["orient"], a_best["cam"]
+            _assemble_mv_a, sil_flat, j2d_flat, phase_cfg,
+            mask=view_mask, group_size=v)
+        orient, cam_wp = a_params["orient"], a_params["cam"]
 
         # Phase B: shared pose + betas.
-        b_best = run_phase(
-            {"pose_sub": pose_sub, "betas": shared_betas},
+        b_params, _ = run_fit_loop(
+            assets, {"pose_sub": pose_sub, "betas": shared_betas},
             {"orient": orient, "cam": cam_wp, "pose_init": shared_pose},
-            lambda t, o: (splice_body_pose(t["pose_sub"], o["pose_init"]),
-                          t["betas"], o["orient"], o["cam"]),
-            iters_per_phase)
-        pose_sub, shared_betas = b_best["pose_sub"], b_best["betas"]
+            _assemble_mv_b, sil_flat, j2d_flat, phase_cfg,
+            mask=view_mask, group_size=v)
+        pose_sub, shared_betas = b_params["pose_sub"], b_params["betas"]
 
     body_pose = splice_body_pose(pose_sub, shared_pose)
 
     # Final per-player metrics (mean over views) — metrics.xml content.
-    ev = evaluate_fit(assets, view_expand(body_pose), _flat(orient),
-                      view_expand(shared_betas), _flat(cam_wp),
+    ev = evaluate_fit(assets, jnp.repeat(body_pose, v, axis=0), _flat(orient),
+                      jnp.repeat(shared_betas, v, axis=0), _flat(cam_wp),
                       sil_flat, j2d_flat, fit_cfg)
     silh_iou = jnp.mean(ev["iou"].reshape(b, v), axis=1)
     joint_err = jnp.mean(ev["joint_err"].reshape(b, v), axis=1)

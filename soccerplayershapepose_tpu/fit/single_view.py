@@ -44,6 +44,12 @@ def splice_body_pose(pose_sub: jnp.ndarray, full_init: jnp.ndarray) -> jnp.ndarr
     ], axis=1)
 
 
+def _assemble_single(t, f):
+    """Module-level assemble (identity keys the engine's compile cache)."""
+    body_pose = splice_body_pose(t["pose_sub"], f["body_pose_init"])
+    return body_pose, t["global_orient"], t["betas"], t["cam_wp"]
+
+
 def single_view_fit(assets: SMPLAssets,
                     init: FitInit,
                     silhouette: jnp.ndarray,
@@ -68,11 +74,8 @@ def single_view_fit(assets: SMPLAssets,
     }
     frozen = {"body_pose_init": init.body_pose}
 
-    def assemble(t, f):
-        body_pose = splice_body_pose(t["pose_sub"], f["body_pose_init"])
-        return body_pose, t["global_orient"], t["betas"], t["cam_wp"]
-
-    best_params, best = run_fit_loop(assets, trainable, frozen, assemble,
+    best_params, best = run_fit_loop(assets, trainable, frozen,
+                                     _assemble_single,
                                      silhouette, joints2d, fit_cfg, mask)
 
     body_pose = splice_body_pose(best_params["pose_sub"],
