@@ -103,7 +103,96 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--smpl-dir", default=None)
 
+    p = sub.add_parser("train-perception",
+                       help="train ProxyNet/detector on synthetic SMPL "
+                            "renders (replaces downloaded detectron2/"
+                            "torchvision weights)")
+    p.add_argument("--out", required=True, help="output weights .npz")
+    p.add_argument("--model", choices=["proxynet", "detector"],
+                   default="proxynet")
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--wh", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--no-iuv", action="store_true")
+    p.add_argument("--smpl-dir", default=None)
+
+    p = sub.add_parser("create-proxy",
+                       help="on-device proxy extraction from raw crops "
+                            "(player_recon.py create_proxy)")
+    p.add_argument("--image-root", required=True)
+    p.add_argument("--proxy-root", required=True)
+    p.add_argument("--vis-root", default=None)
+    p.add_argument("--weights", required=True,
+                   help="ProxyNet weights .npz (see train-perception)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--write-iuv", action="store_true")
+    p.add_argument("--no-iuv", action="store_true")
+
+    p = sub.add_parser("detect-players",
+                       help="detect + crop players from raw frames "
+                            "(player_detection.py crop pipelines)")
+    p.add_argument("--frame-root", required=True)
+    p.add_argument("--out-root", required=True)
+    p.add_argument("--weights", required=True,
+                   help="detector weights .npz (see train-perception)")
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=448)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--score-thresh", type=float,
+                   default=cfg.DETECTION_SCORE_THRESH)
+
     args = parser.parse_args(argv)
+
+    if args.command == "train-perception":
+        from soccerplayershapepose_tpu.smpl import load_assets
+        from soccerplayershapepose_tpu.train.perception import (
+            save_perception_weights, train_detector_synth,
+            train_proxynet_synth)
+        assets = load_assets(model_dir=args.smpl_dir)
+        if args.model == "proxynet":
+            state = train_proxynet_synth(
+                assets, steps=args.steps, batch=args.batch_size, wh=args.wh,
+                learning_rate=args.lr, with_iuv=not args.no_iuv)
+        else:
+            state = train_detector_synth(
+                assets, steps=args.steps, batch=max(1, args.batch_size // 2),
+                learning_rate=args.lr)
+        save_perception_weights(args.out, state)
+        print(json.dumps({"weights": args.out, "steps": args.steps}))
+        return 0
+
+    if args.command == "create-proxy":
+        from soccerplayershapepose_tpu.models.perception import ProxyNet
+        from soccerplayershapepose_tpu.pipeline.extract import (
+            ProxyExtractor, create_proxy_stage)
+        from soccerplayershapepose_tpu.train.perception import (
+            load_perception_weights)
+        model = ProxyNet(with_iuv=not args.no_iuv)
+        variables = load_perception_weights(args.weights, model)
+        extractor = ProxyExtractor(model, variables)
+        out = create_proxy_stage(extractor, args.image_root, args.proxy_root,
+                                 vis_root=args.vis_root,
+                                 batch_size=args.batch_size,
+                                 write_iuv=args.write_iuv)
+        print(json.dumps(out))
+        return 0
+
+    if args.command == "detect-players":
+        from soccerplayershapepose_tpu.models.detector import PlayerDetector
+        from soccerplayershapepose_tpu.pipeline.extract import (
+            PlayerDetectorRunner, detect_players_stage)
+        from soccerplayershapepose_tpu.train.perception import (
+            load_perception_weights)
+        model = PlayerDetector()
+        hw = (args.height, args.width)
+        variables = load_perception_weights(args.weights, model, hw=hw)
+        runner = PlayerDetectorRunner(model, variables, hw,
+                                      score_thresh=args.score_thresh)
+        out = detect_players_stage(runner, args.frame_root, args.out_root,
+                                   batch_size=args.batch_size)
+        print(json.dumps(out))
+        return 0
 
     if args.command == "calc-metrics":
         from soccerplayershapepose_tpu.io import calc_metrics

@@ -165,3 +165,75 @@ def make_detector_train_step(model: PlayerDetector,
         return PerceptionTrainState(params, new_stats, new_opt,
                                     state.step + 1), parts
     return train_step
+
+
+def save_perception_weights(path: str, state: PerceptionTrainState) -> None:
+    """Save ProxyNet/PlayerDetector inference weights as a flat .npz."""
+    import numpy as np
+    from soccerplayershapepose_tpu.train.checkpoint import _flatten
+    tree = {"params": state.params, "batch_stats": state.batch_stats}
+    np.savez(path, **_flatten(tree))
+
+
+def load_perception_weights(path: str, model, wh: int = 256,
+                            hw: Optional[tuple] = None) -> dict:
+    """Load weights saved by :func:`save_perception_weights` → flax
+    variables dict for ``model.apply`` (shapes validated against a fresh
+    init template). ``hw`` for rectangular detector inputs."""
+    import numpy as np
+    from soccerplayershapepose_tpu.train.checkpoint import _unflatten_like
+    h, w = hw if hw is not None else (wh, wh)
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, h, w, 3), jnp.float32), train=False)
+    template = {"params": template["params"],
+                "batch_stats": template.get("batch_stats", {})}
+    flat = dict(np.load(path))
+    return _unflatten_like(template, flat)
+
+
+def train_proxynet_synth(assets, steps: int = 200, batch: int = 8,
+                         wh: int = 256, learning_rate: float = 1e-3,
+                         with_iuv: bool = True, seed: int = 0,
+                         log_every: int = 50) -> PerceptionTrainState:
+    """Train ProxyNet on the synthetic SMPL render factory — the
+    self-supervised replacement for the reference's downloaded detectron2
+    weights (predict_3D.py:35-64). Returns the final train state."""
+    from soccerplayershapepose_tpu.train.synth import synth_crop_batch
+    model = ProxyNet(with_iuv=with_iuv)
+    rng = jax.random.PRNGKey(seed)
+    state, tx = make_proxynet_state(model, rng, wh=wh,
+                                    learning_rate=learning_rate)
+    step_fn = jax.jit(make_proxynet_train_step(model, tx))
+    for i in range(steps):
+        rng, k = jax.random.split(rng)
+        batch_data = synth_crop_batch(assets, k, b=batch, wh=wh)
+        state, metrics = step_fn(state, batch_data)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"proxynet step {i + 1}/{steps}: "
+                  + " ".join(f"{k}={float(v):.4f}"
+                             for k, v in metrics.items()))
+    return state
+
+
+def train_detector_synth(assets, steps: int = 200, batch: int = 4,
+                         hw: tuple = (256, 448), n_players: int = 6,
+                         learning_rate: float = 1e-3, seed: int = 0,
+                         log_every: int = 50) -> PerceptionTrainState:
+    """Train the player detector on synthetic multi-player frames
+    (the torchvision Faster-RCNN replacement, player_detection.py:86-87)."""
+    from soccerplayershapepose_tpu.train.synth import synth_frame_batch
+    model = PlayerDetector()
+    rng = jax.random.PRNGKey(seed)
+    state, tx = make_detector_state(model, rng, hw=hw,
+                                    learning_rate=learning_rate)
+    step_fn = jax.jit(make_detector_train_step(model, tx))
+    for i in range(steps):
+        rng, k = jax.random.split(rng)
+        batch_data = synth_frame_batch(assets, k, b=batch,
+                                       n_players=n_players, hw=hw)
+        state, metrics = step_fn(state, batch_data)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"detector step {i + 1}/{steps}: "
+                  + " ".join(f"{k}={float(v):.4f}"
+                             for k, v in metrics.items()))
+    return state
