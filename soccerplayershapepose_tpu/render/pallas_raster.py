@@ -5,17 +5,18 @@ pair — O(F·P) VPU work. This kernel cuts that by an order of magnitude using
 spatial pruning that XLA cannot express:
 
 * faces are sorted by their screen-space min-y OUTSIDE the kernel;
-* the image is processed in horizontal bands (grid = (B, n_bands)); per-chunk
-  y-ranges are scalar-prefetched into SMEM, and a band skips every face chunk
-  whose y-interval (inflated by the sigmoid support radius) misses the band —
-  with F/n_bands locality this skips ~(1 - 1/n_bands) of all chunk work;
+* the image is processed in (band_h × 128) tiles (grid = (B, n_bands,
+  n_xtiles)); per-chunk x/y-ranges are scalar-prefetched into SMEM: the
+  y-sorted order gives each band a contiguous candidate-chunk range
+  [lo, hi) (host searchsorted), and per-chunk x/y overlap tests (inflated
+  by the sigmoid support radius) skip the rest — most (chunk, tile) pairs
+  never execute;
 * all face geometry (F×6 f32 ≈ 330 KB) resides in VMEM, the band accumulator
   (band_h × wh) lives in a VMEM scratch, and the running Σ log1p(-D)
   aggregation happens in-register per chunk.
 
-Forward-only: the fitting loss keeps the XLA path for gradients (a fused
-backward kernel is the planned follow-up); metric/inference renders use this
-kernel via ``hard=True``-style thresholding of the sharp-σ output.
+Both passes run as Pallas kernels in production (see soft_silhouette_fast);
+the XLA rasterizer remains the correctness oracle in tests.
 """
 
 from __future__ import annotations
@@ -28,27 +29,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _band_kernel(ymin_ref, ymax_ref, tri_ref, out_ref, acc_ref, *,
-                 n_chunks: int, chunk: int, band_h: int, img_wh: int,
-                 sigma_px: float, margin: float):
+def _band_kernel(lo_ref, hi_ref, ymin_ref, ymax_ref, xmin_ref, xmax_ref,
+                 tri_ref, out_ref, acc_ref, *, n_chunks: int, chunk: int,
+                 band_h: int, tile_w: int, img_wh: int, sigma_px: float,
+                 margin: float):
     bi = pl.program_id(0)
     band = pl.program_id(1)
+    xt = pl.program_id(2)
     y0 = (band * band_h).astype(jnp.float32)
     y1 = y0 + band_h
+    x0 = (xt * tile_w).astype(jnp.float32)
+    x1 = x0 + tile_w
 
-    acc_ref[...] = jnp.zeros((band_h, img_wh), jnp.float32)
+    acc_ref[...] = jnp.zeros((band_h, tile_w), jnp.float32)
 
     # Mosaic requires integer iota; cast after.
-    px = jax.lax.broadcasted_iota(jnp.int32, (band_h, img_wh), 1
-                                  ).astype(jnp.float32)
-    py = jax.lax.broadcasted_iota(jnp.int32, (band_h, img_wh), 0
+    px = jax.lax.broadcasted_iota(jnp.int32, (band_h, tile_w), 1
+                                  ).astype(jnp.float32) + x0
+    py = jax.lax.broadcasted_iota(jnp.int32, (band_h, tile_w), 0
                                   ).astype(jnp.float32) + y0
 
     def chunk_body(c, _):
         cymin = ymin_ref[bi, c].astype(jnp.float32)
         cymax = ymax_ref[bi, c].astype(jnp.float32)
+        cxmin = xmin_ref[bi, c].astype(jnp.float32)
+        cxmax = xmax_ref[bi, c].astype(jnp.float32)
 
-        @pl.when((cymax >= y0 - margin) & (cymin <= y1 + margin))
+        @pl.when((cymax >= y0 - margin) & (cymin <= y1 + margin)
+                 & (cxmax >= x0 - margin) & (cxmin <= x1 + margin))
         def _():
             t = tri_ref[0, pl.ds(c * chunk, chunk), :]        # (chunk, 6)
             ax, ay = t[:, 0], t[:, 1]
@@ -74,8 +82,8 @@ def _band_kernel(ymin_ref, ymax_ref, tri_ref, out_ref, acc_ref, *,
                 return (all_pos & (cross >= 0), all_neg & (cross <= 0),
                         jnp.minimum(d2min, d2))
 
-            ones = jnp.ones((chunk, band_h, img_wh), bool)
-            state = (ones, ones, jnp.full((chunk, band_h, img_wh), jnp.inf))
+            ones = jnp.ones((chunk, band_h, tile_w), bool)
+            state = (ones, ones, jnp.full((chunk, band_h, tile_w), jnp.inf))
             state = edge_update(state, ax, ay, bx, by)
             state = edge_update(state, bx, by, cx, cy)
             state = edge_update(state, cx, cy, ax, ay)
@@ -88,8 +96,35 @@ def _band_kernel(ymin_ref, ymax_ref, tri_ref, out_ref, acc_ref, *,
 
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    # Faces are y-sorted, so this band's candidate chunks are the contiguous
+    # [lo, hi) precomputed on host (searchsorted over chunk y-ranges); the
+    # @pl.when above stays as the exact per-chunk test within the range.
+    jax.lax.fori_loop(lo_ref[bi, band], hi_ref[bi, band], chunk_body, 0)
     out_ref[0] = 1.0 - jnp.exp(acc_ref[...])
+
+
+def _band_chunk_bounds(cymin: jnp.ndarray, cymax: jnp.ndarray,
+                       n_bands: int, band_h: int, margin: float):
+    """(B, n_bands) int32 [lo, hi) candidate-chunk bounds per band.
+
+    Faces are y-sorted so chunk minima ascend: chunks with
+    ``cymin <= band_y1 + margin`` form the prefix ``[0, hi)``. ``cymax``
+    is not monotone, but ``cymax <= cymin + H`` with ``H`` the max chunk
+    y-extent, so ``cymin >= band_y0 - margin - H`` is a conservative
+    contiguous lower bound. The kernels keep the exact per-chunk overlap
+    test inside the range; sentinel chunks (padding / culled faces at
+    -1e9) fall below every band's lo."""
+    b = cymin.shape[0]
+    cyminf = cymin.astype(jnp.float32)
+    cymaxf = cymax.astype(jnp.float32)
+    h = jnp.maximum(jnp.max(cymaxf - cyminf, axis=1), 0.0)        # (B,)
+    y0 = jnp.arange(n_bands, dtype=jnp.float32) * band_h
+    y1 = y0 + band_h
+    hi = jax.vmap(lambda row, v: jnp.searchsorted(row, v, side="right"))(
+        cyminf, jnp.broadcast_to(y1 + margin, (b, n_bands)))
+    lo = jax.vmap(lambda row, v: jnp.searchsorted(row, v, side="left"))(
+        cyminf, (y0 - margin)[None, :] - h[:, None])
+    return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("img_wh", "sigma", "band_h",
@@ -117,33 +152,39 @@ def soft_silhouette_pallas(verts2d: jnp.ndarray,
     # support radius so skipped chunks are provably irrelevant.
     margin = (20.0 * sigma_px) ** 0.5 + 2.0
 
-    tri, _, cymin_i, cymax_i, n_chunks = _sorted_tri_and_ranges(
-        verts2d, faces, chunk, backface_cull)
+    tri, _, cymin_i, cymax_i, cxmin_i, cxmax_i, n_chunks = \
+        _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull)
 
     n_bands = -(-img_wh // band_h)
+    # X-tiling: triangles span ~2-10% of the row, so evaluating full rows
+    # wastes most of the VPU work; 128-wide tiles stay lane-aligned and the
+    # per-chunk x-range test skips non-overlapping tiles.
+    tile_w = min(128, img_wh)
+    n_xt = -(-img_wh // tile_w)
+    lo, hi = _band_chunk_bounds(cymin_i, cymax_i, n_bands, band_h, margin)
     kernel = functools.partial(
         _band_kernel, n_chunks=n_chunks, chunk=chunk, band_h=band_h,
-        img_wh=img_wh, sigma_px=sigma_px, margin=margin)
+        tile_w=tile_w, img_wh=img_wh, sigma_px=sigma_px, margin=margin)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, n_bands),
+        num_scalar_prefetch=6,
+        grid=(b, n_bands, n_xt),
         in_specs=[pl.BlockSpec((1, n_chunks * chunk, 6),
-                               lambda bi, band, *_: (bi, 0, 0),
+                               lambda bi, band, xt, *_: (bi, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, band_h, img_wh),
-                               lambda bi, band, *_: (bi, band, 0),
+        out_specs=pl.BlockSpec((1, band_h, tile_w),
+                               lambda bi, band, xt, *_: (bi, band, xt),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((band_h, img_wh), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((band_h, tile_w), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n_bands * band_h, img_wh),
+        out_shape=jax.ShapeDtypeStruct((b, n_bands * band_h, n_xt * tile_w),
                                        jnp.float32),
         interpret=interpret,
-    )(cymin_i, cymax_i, tri)
-    return out[:, :img_wh]
+    )(lo, hi, cymin_i, cymax_i, cxmin_i, cxmax_i, tri)
+    return out[:, :img_wh, :img_wh]
 
 
 def _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull=False,
@@ -174,12 +215,17 @@ def _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull=False,
     if pad:
         tri = jnp.concatenate(
             [tri, jnp.full((b, pad, 6), -1e9, tri.dtype)], axis=1)
-    ys = tri[..., 1::2]
-    cymin = jnp.min(ys.reshape(b, n_chunks, chunk, 3), axis=(2, 3))
-    cymax = jnp.max(ys.reshape(b, n_chunks, chunk, 3), axis=(2, 3))
-    cymin_i = jnp.floor(cymin).astype(jnp.int32)
-    cymax_i = jnp.ceil(jnp.where(cymax < -1e8, -1e9, cymax)).astype(jnp.int32)
-    return tri, order, cymin_i, cymax_i, n_chunks
+
+    def ranges(coords):
+        lo = jnp.min(coords.reshape(b, n_chunks, chunk, 3), axis=(2, 3))
+        hi = jnp.max(coords.reshape(b, n_chunks, chunk, 3), axis=(2, 3))
+        lo_i = jnp.floor(lo).astype(jnp.int32)
+        hi_i = jnp.ceil(jnp.where(hi < -1e8, -1e9, hi)).astype(jnp.int32)
+        return lo_i, hi_i
+
+    cymin_i, cymax_i = ranges(tri[..., 1::2])
+    cxmin_i, cxmax_i = ranges(tri[..., 0::2])
+    return tri, order, cymin_i, cymax_i, cxmin_i, cxmax_i, n_chunks
 
 
 # Backward-kernel selection. The original backward kernel aborted the Mosaic
@@ -242,15 +288,21 @@ def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull,
     sigma_px = float(sigma) * (img_wh / 2.0) ** 2
     margin = (20.0 * sigma_px) ** 0.5 + 2.0
 
-    tri, order, cymin_i, cymax_i, n_chunks = _sorted_tri_and_ranges(
-        verts2d, faces, chunk, backface_cull)
+    tri, order, cymin_i, cymax_i, cxmin_i, cxmax_i, n_chunks = \
+        _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull)
 
     gs = (g * (1.0 - s)).astype(jnp.float32)              # dL/dA per pixel
     n_bands = -(-img_wh // band_h)
+    tile_w = min(128, img_wh)
+    n_xt = -(-img_wh // tile_w)
     pad_rows = n_bands * band_h - img_wh
     if pad_rows:
         gs = jnp.concatenate(
             [gs, jnp.zeros((b, pad_rows, img_wh), jnp.float32)], axis=1)
+    pad_cols = n_xt * tile_w - img_wh
+    if pad_cols:
+        gs = jnp.concatenate(
+            [gs, jnp.zeros((b, gs.shape[1], pad_cols), jnp.float32)], axis=2)
 
     # Face-block decomposition: the (F, 6) tri/dtri VMEM blocks get their
     # last dim lane-padded 6 → 128, so a monolithic block is ~7 MB and two of
@@ -265,27 +317,36 @@ def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull,
         tri = jnp.concatenate(
             [tri, jnp.full((b, extra, 6), -1e9, tri.dtype)], axis=1)
         pad_chunks = extra // chunk
+        # cymin must stay non-decreasing for the searchsorted band bounds:
+        # pad with +2^30 (sorts last, hi excludes); cymax -2^30 keeps the
+        # exact overlap test false regardless.
         cymin_i = jnp.concatenate(
-            [cymin_i, jnp.full((b, pad_chunks), 0, jnp.int32)], axis=1)
+            [cymin_i, jnp.full((b, pad_chunks), 2**30, jnp.int32)], axis=1)
         cymax_i = jnp.concatenate(
             [cymax_i, jnp.full((b, pad_chunks), -2**30, jnp.int32)], axis=1)
+        cxmin_i = jnp.concatenate(
+            [cxmin_i, jnp.full((b, pad_chunks), 2**30, jnp.int32)], axis=1)
+        cxmax_i = jnp.concatenate(
+            [cxmax_i, jnp.full((b, pad_chunks), -2**30, jnp.int32)], axis=1)
     chunks_per_block = f_block // chunk
+    lo, hi = _band_chunk_bounds(cymin_i, cymax_i, n_bands, band_h, margin)
 
     kernel = functools.partial(
         _band_bwd_kernel, chunks_per_block=chunks_per_block, chunk=chunk,
-        band_h=band_h, img_wh=img_wh, sigma_px=sigma_px, margin=margin)
+        band_h=band_h, tile_w=tile_w, img_wh=img_wh, sigma_px=sigma_px,
+        margin=margin)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, n_cblocks, n_bands),
+        num_scalar_prefetch=6,
+        grid=(b, n_cblocks, n_bands, n_xt),
         in_specs=[pl.BlockSpec((1, f_block, 6),
-                               lambda bi, cb, band, *_: (bi, cb, 0),
+                               lambda bi, cb, band, xt, *_: (bi, cb, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, band_h, img_wh),
-                               lambda bi, cb, band, *_: (bi, band, 0),
+                  pl.BlockSpec((1, band_h, tile_w),
+                               lambda bi, cb, band, xt, *_: (bi, band, xt),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, f_block, 6),
-                               lambda bi, cb, band, *_: (bi, cb, 0),
+                               lambda bi, cb, band, xt, *_: (bi, cb, 0),
                                memory_space=pltpu.VMEM),
     )
     dtri_sorted = pl.pallas_call(
@@ -294,7 +355,7 @@ def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull,
         out_shape=jax.ShapeDtypeStruct((b, n_cblocks * f_block, 6),
                                        jnp.float32),
         interpret=interpret,
-    )(cymin_i, cymax_i, tri, gs)
+    )(lo, hi, cymin_i, cymax_i, cxmin_i, cxmax_i, tri, gs)
 
     # un-sort and scatter edge-endpoint grads onto vertices
     inv = jnp.argsort(order, axis=-1)
@@ -307,40 +368,48 @@ def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull,
 soft_silhouette_fast.defvjp(_fast_fwd, _fast_bwd)
 
 
-def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
+def _band_bwd_kernel(lo_ref, hi_ref, ymin_ref, ymax_ref, xmin_ref,
+                     xmax_ref, tri_ref, gs_ref, dtri_ref, *,
                      chunks_per_block: int, chunk: int, band_h: int,
-                     img_wh: int, sigma_px: float, margin: float):
+                     tile_w: int, img_wh: int, sigma_px: float,
+                     margin: float):
     """Backward band kernel: accumulate dL/dtri over this band's pixels.
 
     gs_ref carries g·(1−S) per pixel (dL/d log-miss-sum). Per (face, pixel):
     dL/ds = g(1−S)·D/σ with s = sign·d²_min; the min edge's endpoints get
     (envelope theorem) dd²/da = −2r(1−t), dd²/db = −2rt. Grid =
-    (batch, face-block, band) with bands innermost: each face-block's dtri
-    output block stays VMEM-resident across its band visits and accumulates
-    in place (initialised at band 0).
+    (batch, face-block, band, x-tile) with tiles innermost: each
+    face-block's dtri output block stays VMEM-resident across its tile
+    visits and accumulates in place (initialised at the first tile).
     """
     bi = pl.program_id(0)
     cb = pl.program_id(1)
     band = pl.program_id(2)
+    xt = pl.program_id(3)
     y0 = (band * band_h).astype(jnp.float32)
     y1 = y0 + band_h
+    x0 = (xt * tile_w).astype(jnp.float32)
+    x1 = x0 + tile_w
 
-    @pl.when(band == 0)
+    @pl.when((band == 0) & (xt == 0))
     def _():
         dtri_ref[...] = jnp.zeros_like(dtri_ref)
 
-    px = jax.lax.broadcasted_iota(jnp.int32, (band_h, img_wh), 1
-                                  ).astype(jnp.float32)
-    py = jax.lax.broadcasted_iota(jnp.int32, (band_h, img_wh), 0
+    px = jax.lax.broadcasted_iota(jnp.int32, (band_h, tile_w), 1
+                                  ).astype(jnp.float32) + x0
+    py = jax.lax.broadcasted_iota(jnp.int32, (band_h, tile_w), 0
                                   ).astype(jnp.float32) + y0
-    gs = gs_ref[0]                                        # (band_h, img_wh)
+    gs = gs_ref[0]                                        # (band_h, tile_w)
 
     def chunk_body(c, _):
         gchunk = cb * chunks_per_block + c
         cymin = ymin_ref[bi, gchunk].astype(jnp.float32)
         cymax = ymax_ref[bi, gchunk].astype(jnp.float32)
+        cxmin = xmin_ref[bi, gchunk].astype(jnp.float32)
+        cxmax = xmax_ref[bi, gchunk].astype(jnp.float32)
 
-        @pl.when((cymax >= y0 - margin) & (cymin <= y1 + margin))
+        @pl.when((cymax >= y0 - margin) & (cymin <= y1 + margin)
+                 & (cxmax >= x0 - margin) & (cxmin <= x1 + margin))
         def _():
             t6 = tri_ref[0, pl.ds(c * chunk, chunk), :]   # (chunk, 6)
             ax, ay = t6[:, 0], t6[:, 1]
@@ -361,10 +430,13 @@ def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
                 ry = pyr - tt * ey
                 return cross, rx * rx + ry * ry, tt, rx, ry
 
-            # pass 1 (cheap recompute): inside flag + min-edge selection
-            c0, d0, _, _, _ = edge_d2(ax, ay, bx, by)
-            c1, d1, _, _, _ = edge_d2(bx, by, cx, cy)
-            c2, d2, _, _, _ = edge_d2(cx, cy, ax, ay)
+            # Single pass: keep each edge's (tt, rx, ry) live for the
+            # endpoint grads instead of recomputing (6 → 3 edge evals;
+            # peak live VMEM ~15 × (chunk, band_h, wh) f32 ≈ 8 MB at the
+            # production tile — fits, verified on-chip).
+            c0, d0, t0, rx0, ry0 = edge_d2(ax, ay, bx, by)
+            c1, d1, t1, rx1, ry1 = edge_d2(bx, by, cx, cy)
+            c2, d2, t2, rx2, ry2 = edge_d2(cx, cy, ax, ay)
             inside = (((c0 >= 0) & (c1 >= 0) & (c2 >= 0)) |
                       ((c0 <= 0) & (c1 <= 0) & (c2 <= 0))) \
                 & nondeg[:, None, None]
@@ -376,12 +448,11 @@ def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
             # dL/d(d²_min) per (face, pixel)
             gd2 = gs[None] * dcov / sigma_px * sign * nondeg[:, None, None]
 
-            def endpoint_grads(is_min, x0, y0e, x1, y1e):
-                """Grads for the edge (x0,y0e)-(x1,y1e) on its min-region.
+            def endpoint_grads(is_min, tt, rx, ry):
+                """Grads for one edge on its min-distance region.
 
                 All reductions keep 2-D shapes (chunk, 1) — Mosaic rejects
                 1-D intermediates (layout rank check)."""
-                _, d, tt, rx, ry = edge_d2(x0, y0e, x1, y1e)
                 w = gd2 * is_min
 
                 def red(v):
@@ -398,9 +469,9 @@ def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
             min0 = (d0 <= d1) & (d0 <= d2)
             min1 = (d1 < d0) & (d1 <= d2)
             min2 = (d2 < d0) & (d2 < d1)
-            e0x0, e0y0, e0x1, e0y1 = endpoint_grads(min0, ax, ay, bx, by)
-            e1x0, e1y0, e1x1, e1y1 = endpoint_grads(min1, bx, by, cx, cy)
-            e2x0, e2y0, e2x1, e2y1 = endpoint_grads(min2, cx, cy, ax, ay)
+            e0x0, e0y0, e0x1, e0y1 = endpoint_grads(min0, t0, rx0, ry0)
+            e1x0, e1y0, e1x1, e1y1 = endpoint_grads(min1, t1, rx1, ry1)
+            e2x0, e2y0, e2x1, e2y1 = endpoint_grads(min2, t2, rx2, ry2)
 
             g6 = jnp.concatenate([e0x0 + e2x1, e0y0 + e2y1,
                                   e0x1 + e1x0, e0y1 + e1y0,
@@ -409,4 +480,8 @@ def _band_bwd_kernel(ymin_ref, ymax_ref, tri_ref, gs_ref, dtri_ref, *,
 
         return 0
 
-    jax.lax.fori_loop(0, chunks_per_block, chunk_body, 0)
+    # Candidate-chunk bounds (global chunk units) clamped into this block.
+    base = cb * chunks_per_block
+    start = jnp.clip(lo_ref[bi, band] - base, 0, chunks_per_block)
+    end = jnp.clip(hi_ref[bi, band] - base, 0, chunks_per_block)
+    jax.lax.fori_loop(start, end, chunk_body, 0)
