@@ -5,12 +5,12 @@ pair — O(F·P) VPU work. This kernel cuts that by an order of magnitude using
 spatial pruning that XLA cannot express:
 
 * faces are sorted by their screen-space min-y OUTSIDE the kernel;
-* the image is processed in (band_h × 128) tiles (grid = (B, n_bands,
-  n_xtiles)); per-chunk x/y-ranges are scalar-prefetched into SMEM: the
-  y-sorted order gives each band a contiguous candidate-chunk range
-  [lo, hi) (host searchsorted), and per-chunk x/y overlap tests (inflated
-  by the sigmoid support radius) skip the rest — most (chunk, tile) pairs
-  never execute;
+* the image is processed in (band_h × tile_w) tiles (grid = (B, n_bands,
+  n_xtiles)); per-chunk x/y-ranges are scalar-prefetched into SMEM: each
+  band loops only over its contiguous candidate-chunk range [lo, hi)
+  (exact for any order via suffix-min/prefix-max binary search), and
+  per-chunk x/y overlap tests (inflated by the sigmoid support radius)
+  skip the rest — most (chunk, tile) pairs never execute;
 * all face geometry (F×6 f32 ≈ 330 KB) resides in VMEM, the band accumulator
   (band_h × wh) lives in a VMEM scratch, and the running Σ log1p(-D)
   aggregation happens in-register per chunk.
@@ -103,27 +103,43 @@ def _band_kernel(lo_ref, hi_ref, ymin_ref, ymax_ref, xmin_ref, xmax_ref,
     out_ref[0] = 1.0 - jnp.exp(acc_ref[...])
 
 
+import os as _os
+
+
+def _tile_width(img_wh: int) -> int:
+    """Pixel-tile width (lane-aligned). SPT_PALLAS_TILE_W overrides for
+    tuning sweeps; tiles wider than the image clamp to it.
+
+    Default 256 (measured on v5e, 22-player fit shapes at 256²: tw=256
+    beats tw=128 by ~1.45x on fwd+bwd — per-visit/per-program overheads
+    outweigh the extra pruning of narrower tiles)."""
+    tw = int(_os.environ.get("SPT_PALLAS_TILE_W", "0")) or 256
+    return min(tw, img_wh)
+
+
 def _band_chunk_bounds(cymin: jnp.ndarray, cymax: jnp.ndarray,
                        n_bands: int, band_h: int, margin: float):
     """(B, n_bands) int32 [lo, hi) candidate-chunk bounds per band.
 
-    Faces are y-sorted so chunk minima ascend: chunks with
-    ``cymin <= band_y1 + margin`` form the prefix ``[0, hi)``. ``cymax``
-    is not monotone, but ``cymax <= cymin + H`` with ``H`` the max chunk
-    y-extent, so ``cymin >= band_y0 - margin - H`` is a conservative
-    contiguous lower bound. The kernels keep the exact per-chunk overlap
-    test inside the range; sentinel chunks (padding / culled faces at
-    -1e9) fall below every band's lo."""
+    Exact for ANY chunk order (no monotonicity assumption on the raw
+    ranges): the suffix-minimum of ``cymin`` and prefix-maximum of
+    ``cymax`` ARE monotone, so a binary search over them yields the
+    tightest contiguous range outside which every chunk provably fails
+    the y-overlap test. Sentinel chunks (culled faces / padding) carry
+    cymin=+big / cymax=-big and land outside every band's range."""
     b = cymin.shape[0]
     cyminf = cymin.astype(jnp.float32)
     cymaxf = cymax.astype(jnp.float32)
-    h = jnp.maximum(jnp.max(cymaxf - cyminf, axis=1), 0.0)        # (B,)
+    smin = jax.lax.cummin(cyminf, axis=1, reverse=True)
+    pmax = jax.lax.cummax(cymaxf, axis=1)
     y0 = jnp.arange(n_bands, dtype=jnp.float32) * band_h
     y1 = y0 + band_h
+    # hi: first index whose suffix still starts above the band bottom.
     hi = jax.vmap(lambda row, v: jnp.searchsorted(row, v, side="right"))(
-        cyminf, jnp.broadcast_to(y1 + margin, (b, n_bands)))
+        smin, jnp.broadcast_to(y1 + margin, (b, n_bands)))
+    # lo: number of leading chunks that all end above the band top.
     lo = jax.vmap(lambda row, v: jnp.searchsorted(row, v, side="left"))(
-        cyminf, (y0 - margin)[None, :] - h[:, None])
+        pmax, jnp.broadcast_to(y0 - margin, (b, n_bands)))
     return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 
@@ -134,7 +150,7 @@ def soft_silhouette_pallas(verts2d: jnp.ndarray,
                            faces: jnp.ndarray,
                            img_wh: int,
                            sigma: float = 1e-5,
-                           band_h: int = 32,
+                           band_h: int = 8,
                            chunk: int = 8,
                            interpret: bool = False,
                            backface_cull: bool = False) -> jnp.ndarray:
@@ -152,14 +168,21 @@ def soft_silhouette_pallas(verts2d: jnp.ndarray,
     # support radius so skipped chunks are provably irrelevant.
     margin = (20.0 * sigma_px) ** 0.5 + 2.0
 
-    tri, _, cymin_i, cymax_i, cxmin_i, cxmax_i, n_chunks = \
-        _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull)
+    setup = _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull)
+    return _pallas_fwd_run(setup, img_wh, sigma_px, margin, band_h, chunk,
+                           interpret)
 
+
+def _pallas_fwd_run(setup, img_wh, sigma_px, margin, band_h, chunk,
+                    interpret):
+    """Launch the forward band kernel from precomputed sorted geometry."""
+    tri, _, cymin_i, cymax_i, cxmin_i, cxmax_i, n_chunks = setup
+    b = tri.shape[0]
     n_bands = -(-img_wh // band_h)
     # X-tiling: triangles span ~2-10% of the row, so evaluating full rows
     # wastes most of the VPU work; 128-wide tiles stay lane-aligned and the
     # per-chunk x-range test skips non-overlapping tiles.
-    tile_w = min(128, img_wh)
+    tile_w = _tile_width(img_wh)
     n_xt = -(-img_wh // tile_w)
     lo, hi = _band_chunk_bounds(cymin_i, cymax_i, n_bands, band_h, margin)
     kernel = functools.partial(
@@ -189,14 +212,22 @@ def soft_silhouette_pallas(verts2d: jnp.ndarray,
 
 def _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull=False,
                            keep_fraction=0.6):
-    """Shared fwd/bwd preprocessing: y-sorted padded tri + chunk y-ranges.
+    """Shared fwd/bwd preprocessing: y-sorted padded tri + chunk ranges.
+
+    Faces are sorted by screen-space min-y so chunks of consecutive faces
+    span a narrow y-slab; per-chunk x/y bounding ranges are computed with
+    sentinel faces masked out, and the [lo, hi) band bounds from
+    :func:`_band_chunk_bounds` are exact for any order
+    (suffix-min / prefix-max). A 2D (y-bucket, x) sort was measured and
+    rejected: it compacts chunk bboxes but roughly doubles the candidate
+    range per band, a net wash on lane work.
 
     ``backface_cull`` composes culling with the banded kernel (shared-face
     layout preserved): back faces — per sample, signed screen area below the
     (1−keep_fraction) quantile, the same keep set as ``softras.cull_backfaces``
-    — are overwritten with the -1e9 degenerate sentinel. The min-y sort then
-    clusters them into leading chunks whose y-range overlaps no band, so the
-    kernel skips their work entirely (and they receive zero gradient)."""
+    — are overwritten with the -1e9 degenerate sentinel and sorted LAST,
+    where the sentinel chunk ranges (cymin=+1e9/cymax=-1e9) exclude them
+    from every band, so they do no work and get zero gradient."""
     b = verts2d.shape[0]
     f = faces.shape[0]
     tri = verts2d[:, faces].reshape(b, f, 6)
@@ -205,10 +236,16 @@ def _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull=False,
         bx, by = tri[..., 2], tri[..., 3]
         cx, cy = tri[..., 4], tri[..., 5]
         area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)   # (B, F)
-        thresh = jnp.quantile(area, 1.0 - keep_fraction, axis=-1,
-                              keepdims=True)
+        # k-th largest area as the keep threshold — the IDENTICAL keep set
+        # to softras.cull_backfaces (top_k), so the XLA oracle and both
+        # kernels agree bit-for-bit on which faces render (a quantile
+        # threshold differed on grazing faces by interpolation).
+        k = max(1, int(f * keep_fraction))
+        thresh = jax.lax.top_k(area, k)[0][:, -1:]
         tri = jnp.where((area >= thresh)[..., None], tri, -1e9)
-    order = jnp.argsort(jnp.min(tri[..., 1::2], axis=-1), axis=-1)
+    ymin_f = jnp.min(tri[..., 1::2], axis=-1)                  # (B, F)
+    key = jnp.where(ymin_f < -1e8, 3e7, ymin_f)   # sentinels sort last
+    order = jnp.argsort(key, axis=-1)
     tri = jnp.take_along_axis(tri, order[..., None], axis=1)
     n_chunks = -(-f // chunk)
     pad = n_chunks * chunk - f
@@ -217,11 +254,13 @@ def _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull=False,
             [tri, jnp.full((b, pad, 6), -1e9, tri.dtype)], axis=1)
 
     def ranges(coords):
-        lo = jnp.min(coords.reshape(b, n_chunks, chunk, 3), axis=(2, 3))
-        hi = jnp.max(coords.reshape(b, n_chunks, chunk, 3), axis=(2, 3))
-        lo_i = jnp.floor(lo).astype(jnp.int32)
-        hi_i = jnp.ceil(jnp.where(hi < -1e8, -1e9, hi)).astype(jnp.int32)
-        return lo_i, hi_i
+        sent_c = coords[..., 0] < -1e8                  # (B, F_pad) sentinel
+        lo = jnp.min(jnp.where(sent_c[..., None], 1e9, coords)
+                     .reshape(b, n_chunks, chunk, 3), axis=(2, 3))
+        hi = jnp.max(jnp.where(sent_c[..., None], -1e9, coords)
+                     .reshape(b, n_chunks, chunk, 3), axis=(2, 3))
+        return (jnp.floor(lo).astype(jnp.int32),
+                jnp.ceil(hi).astype(jnp.int32))
 
     cymin_i, cymax_i = ranges(tri[..., 1::2])
     cxmin_i, cxmax_i = ranges(tri[..., 0::2])
@@ -238,7 +277,7 @@ _USE_PALLAS_BWD = _os.environ.get("SPT_PALLAS_BWD", "1") != "0"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def soft_silhouette_fast(verts2d, faces, img_wh, sigma=1e-5, band_h=32,
+def soft_silhouette_fast(verts2d, faces, img_wh, sigma=1e-5, band_h=8,
                          chunk=8, interpret=False, backface_cull=False):
     """Pallas-accelerated soft silhouette (fast forward; safe backward).
 
@@ -257,18 +296,23 @@ def soft_silhouette_fast(verts2d, faces, img_wh, sigma=1e-5, band_h=32,
 
 def _fast_fwd(verts2d, faces, img_wh, sigma, band_h, chunk, interpret,
               backface_cull):
-    s = soft_silhouette_pallas(verts2d, faces, img_wh, sigma=sigma,
-                               band_h=band_h, chunk=chunk,
-                               interpret=interpret,
-                               backface_cull=backface_cull)
-    return s, (verts2d, faces, s)
+    # Sort/cull/chunk-ranges are computed ONCE here and carried to the
+    # backward pass as residuals (the sort is ~10% of a fit iteration and
+    # this also pins fwd/bwd to the identical keep set).
+    sigma_px = float(sigma) * (img_wh / 2.0) ** 2
+    margin = (20.0 * sigma_px) ** 0.5 + 2.0
+    setup = _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull)
+    s = _pallas_fwd_run(setup, img_wh, sigma_px, margin, band_h, chunk,
+                        interpret)
+    # setup[:6] are arrays; n_chunks is static and recomputed in the bwd.
+    return s, (verts2d, faces, s, setup[:6])
 
 
 def _fast_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull, res, g):
     if not (_USE_PALLAS_BWD or interpret):
         from soccerplayershapepose_tpu.render.softras import (
             cull_backfaces, soft_silhouette)
-        verts2d, faces, _ = res
+        verts2d, faces, _, _ = res
 
         def render(v):
             fc = cull_backfaces(v, faces) if backface_cull else faces
@@ -282,18 +326,18 @@ def _fast_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull, res, g):
 
 def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull,
                 res, g):
-    verts2d, faces, s = res
+    verts2d, faces, s, setup = res
     b, v, _ = verts2d.shape
     f = faces.shape[0]
     sigma_px = float(sigma) * (img_wh / 2.0) ** 2
     margin = (20.0 * sigma_px) ** 0.5 + 2.0
 
-    tri, order, cymin_i, cymax_i, cxmin_i, cxmax_i, n_chunks = \
-        _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull)
+    tri, order, cymin_i, cymax_i, cxmin_i, cxmax_i = setup
+    n_chunks = -(-f // chunk)
 
     gs = (g * (1.0 - s)).astype(jnp.float32)              # dL/dA per pixel
     n_bands = -(-img_wh // band_h)
-    tile_w = min(128, img_wh)
+    tile_w = _tile_width(img_wh)
     n_xt = -(-img_wh // tile_w)
     pad_rows = n_bands * band_h - img_wh
     if pad_rows:

@@ -245,9 +245,13 @@ def render_silhouette(vertices: jnp.ndarray,
         # chunks no band visits.
         from soccerplayershapepose_tpu.render.pallas_raster import (
             soft_silhouette_fast)
-        # positional args: custom_vjp functions reject kwargs
+        # positional args: custom_vjp functions reject kwargs.
+        # (band_h=8, tile_w=256, chunk=8): best of the measured v5e sweep
+        # at fit shapes (22 players, 256²) — fwd+bwd 139.5 ms vs 205 ms for
+        # the previous (32, 128, 8). tile_w is a module default
+        # (pallas_raster._tile_width, SPT_PALLAS_TILE_W to override).
         return soft_silhouette_fast(verts2d, faces, render_wh, sigma,
-                                    32, 8, False, backface_cull)
+                                    8, 8, False, backface_cull)
     if backface_cull:
         faces = cull_backfaces(verts2d, faces)
     return soft_silhouette(verts2d, faces, render_wh, sigma=sigma,

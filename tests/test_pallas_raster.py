@@ -82,15 +82,15 @@ def test_pallas_backface_cull_composition():
     v2d = (v[..., :2] * 28 / np.abs(v[..., :2]).max() + 32).astype(np.float32)
     faces = np.asarray(assets.faces)
 
-    # Same keep set as _sorted_tri_and_ranges: area >= 40th percentile.
+    # Same keep set as _sorted_tri_and_ranges AND cull_backfaces: the
+    # top-k faces by signed area (k = 0.6·F).
     tri = v2d[:, faces]
     ax, ay = tri[..., 0, 0], tri[..., 0, 1]
     bx, by = tri[..., 1, 0], tri[..., 1, 1]
     cx, cy = tri[..., 2, 0], tri[..., 2, 1]
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    # threshold computed with jnp.quantile — np.quantile's interpolation
-    # differs in f32 ulps and flips faces tied at the boundary
-    thresh = float(jnp.quantile(jnp.asarray(area[0]), 0.4))
+    k = max(1, int(faces.shape[0] * 0.6))
+    thresh = np.sort(area[0])[::-1][k - 1]
     keep = area[0] >= thresh
     faces_kept = faces[keep].astype(np.int32)   # true subset, shared layout
 
@@ -117,3 +117,63 @@ def test_pallas_backface_cull_composition():
         jnp.asarray(v2d))
     rel = float(jnp.abs(gp - gx).max() / (jnp.abs(gx).max() + 1e-9))
     assert rel < 1e-3, rel
+
+
+def test_band_chunk_bounds_exact_for_any_order():
+    """[lo, hi) must cover exactly the chunks that can pass the per-chunk
+    y-overlap test, for ARBITRARY (non-monotone) chunk orders — the bounds
+    are built from suffix-min/prefix-max, not from a sorted assumption."""
+    from soccerplayershapepose_tpu.render.pallas_raster import (
+        _band_chunk_bounds)
+    rng = np.random.RandomState(7)
+    n_bands, band_h, margin = 8, 8, 3.5
+    for trial in range(5):
+        lo_v = rng.uniform(-20, 70, (3, 40)).astype(np.float32)
+        hi_v = lo_v + rng.uniform(0, 15, (3, 40)).astype(np.float32)
+        # sprinkle sentinel chunks (culled/padding)
+        sent = rng.rand(3, 40) < 0.2
+        lo_v = np.where(sent, 1e9, lo_v)
+        hi_v = np.where(sent, -1e9, hi_v)
+        perm = rng.permutation(40)
+        lo_v, hi_v = lo_v[:, perm], hi_v[:, perm]
+        lo, hi = _band_chunk_bounds(jnp.asarray(np.floor(lo_v), np.int32),
+                                    jnp.asarray(np.ceil(hi_v), np.int32),
+                                    n_bands, band_h, margin)
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        for b in range(3):
+            for band in range(n_bands):
+                y0, y1 = band * band_h, band * band_h + band_h
+                passes = ((np.ceil(hi_v[b]) >= y0 - margin)
+                          & (np.floor(lo_v[b]) <= y1 + margin))
+                idx = np.nonzero(passes)[0]
+                if idx.size:
+                    # every passing chunk inside [lo, hi) (the kernel's
+                    # exact per-chunk test filters within the range)
+                    assert lo[b, band] <= idx.min()
+                    assert hi[b, band] > idx.max()
+                else:
+                    assert lo[b, band] >= hi[b, band]
+
+
+def test_pallas_cull_keep_set_matches_oracle():
+    """The degenerate-sentinel cull inside _sorted_tri_and_ranges keeps the
+    IDENTICAL face set as softras.cull_backfaces (top_k threshold)."""
+    import jax
+    from soccerplayershapepose_tpu.render.softras import cull_backfaces
+    from soccerplayershapepose_tpu.render.pallas_raster import (
+        _sorted_tri_and_ranges)
+    rng = np.random.RandomState(3)
+    verts = jnp.asarray(rng.uniform(0, 64, (2, 30, 2)).astype(np.float32))
+    faces = jnp.asarray(rng.randint(0, 30, (25, 3)).astype(np.int32))
+    tri, order, *_ = _sorted_tri_and_ranges(verts, faces, chunk=8,
+                                            backface_cull=True)
+    # un-sort; kept rows are the non-sentinel ones
+    inv = jnp.argsort(order, axis=-1)
+    tri_unsorted = jnp.take_along_axis(tri[:, :25], inv[..., None], axis=1)
+    kept_mask = np.asarray(tri_unsorted[..., 0] > -1e8)          # (B, F)
+    kept_oracle = np.asarray(cull_backfaces(verts, faces))       # (B, K, 3)
+    f_np = np.asarray(faces)
+    for b in range(2):
+        kept_idx = {tuple(f_np[i]) for i in np.nonzero(kept_mask[b])[0]}
+        oracle_idx = {tuple(row) for row in kept_oracle[b]}
+        assert kept_idx == oracle_idx
