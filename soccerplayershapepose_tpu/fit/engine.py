@@ -291,7 +291,8 @@ def run_fit_loop(assets: SMPLAssets,
                  fit_cfg: FitConfig,
                  mask: Optional[jnp.ndarray] = None,
                  group_size: int = 1,
-                 metric_weights: Optional[jnp.ndarray] = None):
+                 metric_weights: Optional[jnp.ndarray] = None,
+                 mesh=None):
     """Generic fitting loop: compiled scan segments from a process-wide cache.
 
     Args:
@@ -305,21 +306,54 @@ def run_fit_loop(assets: SMPLAssets,
         selection are reduced per group.
       metric_weights: (rows,) weights for the per-group metric mean
         (e.g. frame masks); defaults to 1.
+      mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis — the player
+        row axis of every batch-shaped input (and the optimizer state built
+        from it) is sharded over it; SMPL assets and loss state replicate.
+        Scene fitting is embarrassingly parallel over players, so GSPMD
+        runs each shard's scan locally with no per-iteration collectives
+        (the reference fits players serially on one GPU; SURVEY §5.8).
+        Rows must be padded to a multiple of the data-axis size (use
+        ``mask`` for the padding).
 
     Returns:
       (best trainable pytree, FitResult-style dict of best metrics, with
       (groups,) metric shapes).
     """
-    _, log_vars = make_loss_state(fit_cfg.use_silhouette)
-    tx = optax.adam(fit_cfg.lr)
-    opt_state = tx.init(trainable)
-
     rows = target_joints2d.shape[0]
     groups = rows // group_size
     if mask is None:
         mask = jnp.ones((rows,), jnp.float32)
     if metric_weights is None:
         metric_weights = jnp.ones((rows,), jnp.float32)
+
+    if mesh is not None:
+        from soccerplayershapepose_tpu.parallel.mesh import (
+            data_sharding, replicate)
+        n_data = mesh.shape["data"]
+        if rows % n_data or (groups % n_data if group_size > 1 else False):
+            raise ValueError(
+                f"rows={rows} (groups={groups}) must be a multiple of the "
+                f"data axis ({n_data}); pad the scene batch")
+
+        def shard_rows(tree, lead):
+            def put(x):
+                if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1 \
+                        and x.shape[0] == lead:
+                    return jax.device_put(x, data_sharding(mesh, x.ndim))
+                return x
+            return jax.tree_util.tree_map(put, tree)
+
+        trainable = shard_rows(trainable, groups)
+        frozen = shard_rows(frozen, rows)
+        target_silhouette = shard_rows(target_silhouette, rows)
+        target_joints2d = shard_rows(target_joints2d, rows)
+        mask = shard_rows(mask, rows)
+        metric_weights = shard_rows(metric_weights, rows)
+        assets = replicate(assets, mesh)
+
+    _, log_vars = make_loss_state(fit_cfg.use_silhouette)
+    tx = optax.adam(fit_cfg.lr)
+    opt_state = tx.init(trainable)
 
     inf = jnp.full((groups,), jnp.inf)
     best0 = {"m0": inf, "m1": inf, "iou": jnp.zeros((groups,)),

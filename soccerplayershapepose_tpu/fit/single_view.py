@@ -55,7 +55,8 @@ def single_view_fit(assets: SMPLAssets,
                     silhouette: jnp.ndarray,
                     joints2d: jnp.ndarray,
                     fit_cfg: Optional[FitConfig] = None,
-                    mask: Optional[jnp.ndarray] = None) -> FitResult:
+                    mask: Optional[jnp.ndarray] = None,
+                    mesh=None) -> FitResult:
     """Optimize each player-view independently (batched).
 
     Args:
@@ -63,6 +64,8 @@ def single_view_fit(assets: SMPLAssets,
       silhouette: (B, proxy_wh, proxy_wh) target masks.
       joints2d: (B, 17, 2|3) target keypoints (px).
       mask: (B,) validity for padded slots.
+      mesh: optional (data, model) mesh — shards the player axis over
+        ``data`` (see run_fit_loop; pad B to a multiple of the axis).
     """
     fit_cfg = fit_cfg or FitConfig()
 
@@ -76,7 +79,8 @@ def single_view_fit(assets: SMPLAssets,
 
     best_params, best = run_fit_loop(assets, trainable, frozen,
                                      _assemble_single,
-                                     silhouette, joints2d, fit_cfg, mask)
+                                     silhouette, joints2d, fit_cfg, mask,
+                                     mesh=mesh)
 
     body_pose = splice_body_pose(best_params["pose_sub"],
                                  init.body_pose)

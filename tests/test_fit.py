@@ -242,3 +242,45 @@ def test_single_view_optimization_test_stage(tmp_path):
         assert os.path.exists(p), p
         data = np.load(p)
         assert data["body_pose"].shape == (1, 23, 3, 3)
+
+
+def test_single_view_fit_with_mesh_matches_unsharded():
+    """mesh=... shards the player axis over the data axis; on however many
+    CPU devices exist the sharded loop must produce the same best iterate as
+    the unsharded one (embarrassingly parallel — no cross-player math)."""
+    from soccerplayershapepose_tpu.parallel.mesh import make_mesh
+    devices = jax.devices("cpu")
+    mesh = make_mesh(devices[:2] if len(devices) >= 2 else devices[:1])
+    assets = synthesize_assets()
+    rng = np.random.RandomState(0)
+    b = 2 * mesh.shape["data"]
+    rotmats, betas, cam, j2d = _make_target(assets, rng, b)
+    init = _perturbed_init(rotmats, betas, cam, rng)
+    fit_cfg = FitConfig(iters=6, lr=0.01, use_silhouette=False,
+                        silhouette_metrics=False, iters_per_call=3)
+    sil = jnp.zeros((b, 512, 512))
+    res_sharded = single_view_fit(assets, init, sil, j2d, fit_cfg, mesh=mesh)
+    res_plain = single_view_fit(assets, init, sil, j2d, fit_cfg)
+    np.testing.assert_allclose(np.asarray(res_sharded.joint_err),
+                               np.asarray(res_plain.joint_err),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_sharded.betas),
+                               np.asarray(res_plain.betas),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_run_fit_loop_mesh_rejects_ragged_rows():
+    from soccerplayershapepose_tpu.parallel.mesh import make_mesh
+    devices = jax.devices("cpu")
+    if len(devices) < 2:
+        pytest.skip("needs >=2 CPU devices for a data axis of 2")
+    mesh = make_mesh(devices[:2])
+    assets = synthesize_assets()
+    rng = np.random.RandomState(0)
+    rotmats, betas, cam, j2d = _make_target(assets, rng, 3)  # 3 % 2 != 0
+    init = _perturbed_init(rotmats, betas, cam, rng)
+    fit_cfg = FitConfig(iters=2, use_silhouette=False,
+                        silhouette_metrics=False)
+    with pytest.raises(ValueError, match="multiple of the data axis"):
+        single_view_fit(assets, init, jnp.zeros((3, 512, 512)), j2d,
+                        fit_cfg, mesh=mesh)
