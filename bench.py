@@ -92,23 +92,27 @@ def bench_fit():
     print(json.dumps(record))
 
 
-def _fit_bench_subprocess(timeout_s: float = 900.0):
+def _fit_bench_subprocess(timeout_s: float = 1500.0, attempts: int = 2):
     """Run the fit benchmark in a crash-isolated subprocess (long silhouette
     fits are the programs that fault the remote worker) and return its
-    parsed JSON dict, or None on any failure."""
+    parsed JSON dict, or None on any failure. Retries once after waiting
+    for the device — a worker crash mid-fit otherwise loses the number."""
     import subprocess
     import sys
     env = dict(os.environ, BENCH_MODE="fit", _BENCH_TRY="9")
-    try:
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             timeout=timeout_s)
-        for line in out.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-    except Exception:
-        pass
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=timeout_s)
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+        except Exception:
+            pass
+        if attempt + 1 < attempts:
+            _wait_for_device(1800)
     return None
 
 

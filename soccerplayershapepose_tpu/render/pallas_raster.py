@@ -110,11 +110,22 @@ def _tile_width(img_wh: int) -> int:
     """Pixel-tile width (lane-aligned). SPT_PALLAS_TILE_W overrides for
     tuning sweeps; tiles wider than the image clamp to it.
 
-    Default 256 (measured on v5e, 22-player fit shapes at 256²: tw=256
-    beats tw=128 by ~1.45x on fwd+bwd — per-visit/per-program overheads
-    outweigh the extra pruning of narrower tiles)."""
-    tw = int(_os.environ.get("SPT_PALLAS_TILE_W", "0")) or 256
+    Measured on v5e at 22-player fit shapes: at 256² full-width tiles beat
+    128-wide by ~1.45x on fwd+bwd (per-visit/per-program overheads outweigh
+    the extra pruning), while at 512² narrow 128-wide x-tiles win — the
+    per-visit vector work grows with tile area and pruning pays again."""
+    tw = int(_os.environ.get("SPT_PALLAS_TILE_W", "0"))
+    if not tw:
+        tw = img_wh if img_wh <= 256 else 128
     return min(tw, img_wh)
+
+
+def default_band_h(render_wh: int) -> int:
+    """Band height for the production fit path (SPT_PALLAS_BAND_H to
+    override): 8 at ≤256² (best measured), 32 at ≥512² where the taller
+    band amortizes per-program overhead over more rows."""
+    bh = int(_os.environ.get("SPT_PALLAS_BAND_H", "0"))
+    return bh or (8 if render_wh <= 256 else 32)
 
 
 def _band_chunk_bounds(cymin: jnp.ndarray, cymax: jnp.ndarray,
@@ -272,8 +283,10 @@ def _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull=False,
 # with keepdims-2-D reductions it compiles and matches the XLA gradient
 # exactly on the real chip (scripts/probe_tpu.py pallas_grad2). Kill switch:
 # SPT_PALLAS_BWD=0 falls back to XLA-recompute autodiff.
-import os as _os
 _USE_PALLAS_BWD = _os.environ.get("SPT_PALLAS_BWD", "1") != "0"
+# Backward-kernel pixel reductions on the MXU (dot with a ones vector)
+# instead of VPU tree reductions; see _band_bwd_kernel.endpoint_grads.
+_USE_DOTRED = _os.environ.get("SPT_PALLAS_DOTRED", "0") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
@@ -492,6 +505,11 @@ def _band_bwd_kernel(lo_ref, hi_ref, ymin_ref, ymax_ref, xmin_ref,
             # dL/d(d²_min) per (face, pixel)
             gd2 = gs[None] * dcov / sigma_px * sign * nondeg[:, None, None]
 
+            # The 12 pixel reductions are most of the per-visit VPU work;
+            # SPT_PALLAS_DOTRED=1 runs them as (chunk, P)·(P, 1) matmuls on
+            # the otherwise-idle MXU instead.
+            ones_p = jnp.ones((band_h * tile_w, 1), jnp.float32)
+
             def endpoint_grads(is_min, tt, rx, ry):
                 """Grads for one edge on its min-distance region.
 
@@ -500,8 +518,12 @@ def _band_bwd_kernel(lo_ref, hi_ref, ymin_ref, ymax_ref, xmin_ref,
                 w = gd2 * is_min
 
                 def red(v):
-                    return jnp.sum((w * v).reshape(chunk, -1), axis=1,
-                                   keepdims=True)
+                    flat = (w * v).reshape(chunk, band_h * tile_w)
+                    if _USE_DOTRED:
+                        return jax.lax.dot_general(
+                            flat, ones_p, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    return jnp.sum(flat, axis=1, keepdims=True)
                 return (red(-2.0 * rx * (1.0 - tt)),
                         red(-2.0 * ry * (1.0 - tt)),
                         red(-2.0 * rx * tt),

@@ -244,14 +244,14 @@ def render_silhouette(vertices: jnp.ndarray,
         # (pallas_raster._sorted_tri_and_ranges) — culled faces sort into
         # chunks no band visits.
         from soccerplayershapepose_tpu.render.pallas_raster import (
-            soft_silhouette_fast)
+            default_band_h, soft_silhouette_fast)
         # positional args: custom_vjp functions reject kwargs.
-        # (band_h=8, tile_w=256, chunk=8): best of the measured v5e sweep
-        # at fit shapes (22 players, 256²) — fwd+bwd 139.5 ms vs 205 ms for
-        # the previous (32, 128, 8). tile_w is a module default
-        # (pallas_raster._tile_width, SPT_PALLAS_TILE_W to override).
+        # Kernel tile shape is resolution-dependent (measured v5e sweep at
+        # fit shapes — see pallas_raster._tile_width/default_band_h):
+        # 256² → (band 8, full-width), 512² → (band 32, 128-wide x-tiles).
         return soft_silhouette_fast(verts2d, faces, render_wh, sigma,
-                                    8, 8, False, backface_cull)
+                                    default_band_h(render_wh), 8, False,
+                                    backface_cull)
     if backface_cull:
         faces = cull_backfaces(verts2d, faces)
     return soft_silhouette(verts2d, faces, render_wh, sigma=sigma,
