@@ -284,8 +284,10 @@ def _sorted_tri_and_ranges(verts2d, faces, chunk, backface_cull=False,
 # exactly on the real chip (scripts/probe_tpu.py pallas_grad2). Kill switch:
 # SPT_PALLAS_BWD=0 falls back to XLA-recompute autodiff.
 _USE_PALLAS_BWD = _os.environ.get("SPT_PALLAS_BWD", "1") != "0"
-# Backward-kernel pixel reductions on the MXU (dot with a ones vector)
-# instead of VPU tree reductions; see _band_bwd_kernel.endpoint_grads.
+# EXPERIMENTAL: backward-kernel pixel reductions on the MXU (dot with a
+# ones vector) instead of VPU tree reductions. Interpret-mode parity is
+# pinned in tests, but on the current v5e toolchain the Mosaic compile of
+# the (chunk, P)x(P, 1) dot HANGS (control compiles fine) — leave off.
 _USE_DOTRED = _os.environ.get("SPT_PALLAS_DOTRED", "0") == "1"
 
 

@@ -177,3 +177,32 @@ def test_pallas_cull_keep_set_matches_oracle():
         kept_idx = {tuple(f_np[i]) for i in np.nonzero(kept_mask[b])[0]}
         oracle_idx = {tuple(row) for row in kept_oracle[b]}
         assert kept_idx == oracle_idx
+
+
+def test_pallas_backward_dotred_matches_default(monkeypatch):
+    """SPT_PALLAS_DOTRED=1 (MXU dot reductions in the backward kernel) must
+    produce the same vertex gradients as the default VPU tree reductions."""
+    import importlib
+    import jax
+    import soccerplayershapepose_tpu.render.pallas_raster as pr
+
+    verts = jnp.asarray(np.array([[[12.3, 14.1], [42.7, 16.2], [28.9, 44.8],
+                                   [30.1, 20.5], [55.0, 30.0], [40.0, 55.0]]],
+                                 np.float32))
+    faces = jnp.asarray(np.array([[0, 1, 2], [3, 4, 5]], np.int32))
+    gw = jnp.asarray(np.random.RandomState(1).randn(1, 64, 64)
+                     .astype(np.float32))
+
+    def grad_with(flag):
+        monkeypatch.setattr(pr, "_USE_DOTRED", flag)
+        # custom_vjp + jit caches key on static args only — wrap in a fresh
+        # python callable per flag value so the kernel is re-traced.
+        def loss(v, _marker=flag):
+            return jnp.sum(pr.soft_silhouette_fast(
+                v, faces, 64, 1e-4, 16, 8, True) * gw)
+        return jax.grad(loss)(verts)
+
+    g_tree = grad_with(False)
+    g_dot = grad_with(True)
+    np.testing.assert_allclose(np.asarray(g_dot), np.asarray(g_tree),
+                               rtol=1e-5, atol=1e-6)
