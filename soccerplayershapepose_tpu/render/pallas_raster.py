@@ -122,10 +122,11 @@ def _tile_width(img_wh: int) -> int:
 
 def default_band_h(render_wh: int) -> int:
     """Band height for the production fit path (SPT_PALLAS_BAND_H to
-    override): 8 at ≤256² (best measured), 32 at ≥512² where the taller
-    band amortizes per-program overhead over more rows."""
+    override): 8 at ≤256² (best measured), 16 at ≥512² — the v5e sweep
+    ranked (16, 128) at 252 ms fwd+bwd vs 265 for (32, 128) and 336+ for
+    full-width tiles."""
     bh = int(_os.environ.get("SPT_PALLAS_BAND_H", "0"))
-    return bh or (8 if render_wh <= 256 else 32)
+    return bh or (8 if render_wh <= 256 else 16)
 
 
 def _band_chunk_bounds(cymin: jnp.ndarray, cymax: jnp.ndarray,
