@@ -168,7 +168,8 @@ def single_view_optimization(assets: SMPLAssets, image_root: str,
                              ignore_first: bool = True,
                              skip_existing: bool = False,
                              vis_folder: Optional[str] = None,
-                             verbose: bool = True) -> dict:
+                             verbose: bool = True,
+                             mesh=None) -> dict:
     """Batched single-view fitting over the player tree; writes per-view
     ``.npz`` results and returns the init/opt metric means the reference
     prints (player_recon.py:1305-1307). ``skip_existing`` resumes an
@@ -202,7 +203,8 @@ def single_view_optimization(assets: SMPLAssets, image_root: str,
         init = FitInit(body_pose=pred.pose_rotmats[:, 1:],
                        global_orient=pred.pose_rotmats[:, :1],
                        betas=pred.betas, cam_wp=pred.cam_wp)
-        res = single_view_fit(assets, init, sil_b, j2d_b, fit_cfg, mask)
+        res = single_view_fit(assets, init, sil_b, j2d_b, fit_cfg, mask,
+                              mesh=mesh)
 
         if vis_folder is not None:
             # best-iterate mesh overlay per view (the reference's *_1.png
@@ -316,7 +318,8 @@ def multi_view_optimization(assets: SMPLAssets, image_root: str,
                             fit_cfg: Optional[FitConfig] = None,
                             batch_size: int = 8,
                             ignore_first: bool = True,
-                            verbose: bool = True) -> dict:
+                            verbose: bool = True,
+                            mesh=None) -> dict:
     """Batched multi-view fitting; writes shared data.npz + per-view npz +
     metrics.xml per player (player_recon.py:1976-1986)."""
     fit_cfg = fit_cfg or FitConfig(iters=cfg.MULTI_VIEW_ITERS)
@@ -380,7 +383,7 @@ def multi_view_optimization(assets: SMPLAssets, image_root: str,
         res = multi_view_fit(assets, init,
                              jnp.asarray(_pad_batch(sil_l, batch_size)),
                              jnp.asarray(_pad_batch(j2d_l, batch_size)),
-                             fit_cfg, mask=mask)
+                             fit_cfg, mask=mask, mesh=mesh)
 
         for i, (node, views) in enumerate(chunk[:n_real]):
             out_dir = os.path.join(result_root, node.game, node.scene,
@@ -415,7 +418,8 @@ def broad_view_optimization(assets: SMPLAssets, broad_image_root: str,
                             batch_size: int = 32,
                             is_refine: bool = False,
                             score_thresh: float = cfg.REFINE_SCORE_THRESH,
-                            verbose: bool = True) -> dict:
+                            verbose: bool = True,
+                            mesh=None) -> dict:
     """Broadcast transfer: pose/shape frozen from multi-view, optimize
     [cam, orient] per player on the broadcast proxy; writes data.npz +
     metrics.xml (player_recon.py:2003-2262)."""
@@ -458,7 +462,7 @@ def broad_view_optimization(assets: SMPLAssets, broad_image_root: str,
             assets, jnp.asarray(_pad_batch(bps, batch_size)),
             jnp.asarray(_pad_batch(bes, batch_size)),
             pred.pose_rotmats[:, :1], pred.cam_wp, sil_b, j2d_b,
-            fit_cfg, mask)
+            fit_cfg, mask, mesh=mesh)
 
         for i, (node, view) in enumerate(chunk[:n_real]):
             out_dir = os.path.join(result_root, node.game, node.scene,

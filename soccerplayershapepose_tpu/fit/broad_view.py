@@ -36,7 +36,8 @@ def broad_view_fit(assets: SMPLAssets,
                    silhouette: jnp.ndarray,      # (B, wh, wh)
                    joints2d: jnp.ndarray,        # (B, 17, 2|3)
                    fit_cfg: Optional[FitConfig] = None,
-                   mask: Optional[jnp.ndarray] = None) -> FitResult:
+                   mask: Optional[jnp.ndarray] = None,
+                   mesh=None) -> FitResult:
     fit_cfg = fit_cfg or FitConfig(iters=cfg.BROAD_VIEW_ITERS,
                                    lr=cfg.BROAD_VIEW_LR)
 
@@ -45,7 +46,8 @@ def broad_view_fit(assets: SMPLAssets,
 
     best_params, best = run_fit_loop(assets, trainable, frozen,
                                      _assemble_broad,
-                                     silhouette, joints2d, fit_cfg, mask)
+                                     silhouette, joints2d, fit_cfg, mask,
+                                     mesh=mesh)
 
     translation = weak_perspective_to_translation(
         best_params["cam_wp"], fit_cfg.focal_length, fit_cfg.proxy_wh)

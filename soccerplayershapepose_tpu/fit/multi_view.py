@@ -89,7 +89,8 @@ def multi_view_fit(assets: SMPLAssets,
                    fit_cfg: Optional[FitConfig] = None,
                    rounds: int = cfg.MULTI_VIEW_ROUNDS,
                    iters_per_phase: int = cfg.MULTI_VIEW_ITERS,
-                   mask: Optional[jnp.ndarray] = None) -> MultiViewResult:
+                   mask: Optional[jnp.ndarray] = None,
+                   mesh=None) -> MultiViewResult:
     fit_cfg = fit_cfg or FitConfig(iters=iters_per_phase)
     phase_cfg = dataclasses.replace(fit_cfg, iters=iters_per_phase)
     b, v = init.cam_wp.shape[:2]
@@ -114,7 +115,7 @@ def multi_view_fit(assets: SMPLAssets,
             {"pose_sub": pose_sub, "betas": shared_betas,
              "pose_init": shared_pose},
             _assemble_mv_a, sil_flat, j2d_flat, phase_cfg,
-            mask=view_mask, group_size=v)
+            mask=view_mask, group_size=v, mesh=mesh)
         orient, cam_wp = a_params["orient"], a_params["cam"]
 
         # Phase B: shared pose + betas.
@@ -122,7 +123,7 @@ def multi_view_fit(assets: SMPLAssets,
             assets, {"pose_sub": pose_sub, "betas": shared_betas},
             {"orient": orient, "cam": cam_wp, "pose_init": shared_pose},
             _assemble_mv_b, sil_flat, j2d_flat, phase_cfg,
-            mask=view_mask, group_size=v)
+            mask=view_mask, group_size=v, mesh=mesh)
         pose_sub, shared_betas = b_params["pose_sub"], b_params["betas"]
 
     body_pose = splice_body_pose(pose_sub, shared_pose)

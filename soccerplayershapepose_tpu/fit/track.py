@@ -55,7 +55,8 @@ def track_fit(assets: SMPLAssets,
               silhouettes: jnp.ndarray,      # (B, T, wh, wh)
               joints2d: jnp.ndarray,         # (B, T, 17, 2|3)
               fit_cfg: Optional[FitConfig] = None,
-              frame_mask: Optional[jnp.ndarray] = None) -> TrackResult:
+              frame_mask: Optional[jnp.ndarray] = None,
+              mesh=None) -> TrackResult:
     """Jointly optimize a clip per player with one shared shape."""
     fit_cfg = fit_cfg or FitConfig(iters=cfg.SINGLE_VIEW_ITERS)
     b, t = init.cam_wp.shape[:2]
@@ -79,7 +80,7 @@ def track_fit(assets: SMPLAssets,
                             {"pose_init_flat": pose_init_flat},
                             _assemble_track, sil_flat, j2d_flat, fit_cfg,
                             mask=flat_mask, group_size=t,
-                            metric_weights=flat_mask)
+                            metric_weights=flat_mask, mesh=mesh)
 
     body_pose = splice_body_pose(
         tr["pose_sub"].reshape(b * t, 19, 3, 3),

@@ -284,3 +284,37 @@ def test_run_fit_loop_mesh_rejects_ragged_rows():
     with pytest.raises(ValueError, match="multiple of the data axis"):
         single_view_fit(assets, init, jnp.zeros((3, 512, 512)), j2d,
                         fit_cfg, mesh=mesh)
+
+
+def test_multi_view_fit_with_mesh_matches_unsharded():
+    """The grouped (views-per-player) fit path under a data mesh must agree
+    with the unsharded run — the rows axis (B·V) AND the groups axis (B)
+    both shard over `data`."""
+    from soccerplayershapepose_tpu.parallel.mesh import make_mesh
+    devices = jax.devices("cpu")
+    if len(devices) < 2:
+        pytest.skip("needs >=2 CPU devices")
+    mesh = make_mesh(devices[:2])
+    assets = synthesize_assets()
+    rng = np.random.RandomState(0)
+    b, v = 2 * mesh.shape["data"], 2
+    rotmats, betas, cam, j2d = _make_target(assets, rng, b * v)
+    init = MultiViewInit(
+        body_pose=rotmats[:, 1:].reshape(b, v, 23, 3, 3),
+        global_orient=rotmats[:, :1].reshape(b, v, 1, 3, 3),
+        betas=betas.reshape(b, v, 10),
+        cam_wp=cam.reshape(b, v, 3))
+    sils = jnp.zeros((b, v, 512, 512))
+    j2d_v = j2d.reshape(b, v, 17, j2d.shape[-1])
+    fit_cfg = FitConfig(iters=4, use_silhouette=False,
+                        silhouette_metrics=False, iters_per_call=2)
+    res_m = multi_view_fit(assets, init, sils, j2d_v, fit_cfg,
+                           rounds=1, iters_per_phase=4, mesh=mesh)
+    res_p = multi_view_fit(assets, init, sils, j2d_v, fit_cfg,
+                           rounds=1, iters_per_phase=4)
+    np.testing.assert_allclose(np.asarray(res_m.betas),
+                               np.asarray(res_p.betas),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_m.joint_err),
+                               np.asarray(res_p.joint_err),
+                               rtol=1e-4, atol=1e-4)
