@@ -96,8 +96,7 @@ def _band_kernel(lo_ref, hi_ref, ymin_ref, ymax_ref, xmin_ref, xmax_ref,
 
         return 0
 
-    # Faces are y-sorted, so this band's candidate chunks are the contiguous
-    # [lo, hi) precomputed on host (searchsorted over chunk y-ranges); the
+    # [lo, hi) from _band_chunk_bounds (exact for any chunk order); the
     # @pl.when above stays as the exact per-chunk test within the range.
     jax.lax.fori_loop(lo_ref[bi, band], hi_ref[bi, band], chunk_body, 0)
     out_ref[0] = 1.0 - jnp.exp(acc_ref[...])
@@ -377,9 +376,9 @@ def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull,
         tri = jnp.concatenate(
             [tri, jnp.full((b, extra, 6), -1e9, tri.dtype)], axis=1)
         pad_chunks = extra // chunk
-        # cymin must stay non-decreasing for the searchsorted band bounds:
-        # pad with +2^30 (sorts last, hi excludes); cymax -2^30 keeps the
-        # exact overlap test false regardless.
+        # Padding chunks carry inverted sentinel ranges (+2^30/-2^30): the
+        # suffix-min/prefix-max band bounds exclude them from every band
+        # and the exact per-chunk overlap test fails regardless.
         cymin_i = jnp.concatenate(
             [cymin_i, jnp.full((b, pad_chunks), 2**30, jnp.int32)], axis=1)
         cymax_i = jnp.concatenate(
