@@ -147,19 +147,26 @@ def decode_iuv(part_logits: jnp.ndarray, uv: jnp.ndarray,
     Channel 0: part index (0 = background, 1..24); channels 1-2: U, V scaled
     to [0, 255] — byte-compatible with the reference's decoded DensePose
     result (densepose/structures.py:438; predict_densepose.py:122-158).
+
+    With ``out_wh`` set, the stride-4 head outputs are bilinearly upsampled
+    BEFORE the argmax/selection, so the decoded part labels have per-pixel
+    boundaries at crop resolution — matching the reference's full-res decode
+    (predict_densepose.py:122-158) rather than 4-px nearest blocks.
     """
     b, h, w, _ = part_logits.shape
+    if out_wh is not None and out_wh != h:
+        part_logits = jax.image.resize(
+            part_logits, (b, out_wh, out_wh, part_logits.shape[-1]),
+            "bilinear")
+        uv = jax.image.resize(uv, (b, out_wh, out_wh, uv.shape[-1]),
+                              "bilinear")
+        h = w = out_wh
     part = jnp.argmax(part_logits, axis=-1)                 # (B,h,w) 0..24
     uv = jax.nn.sigmoid(uv.reshape(b, h, w, NUM_PARTS, 2))
     sel = jnp.clip(part - 1, 0, NUM_PARTS - 1)
     uv_sel = jnp.take_along_axis(
         uv, sel[..., None, None].astype(jnp.int32), axis=3)[..., 0, :]
     fg = (part > 0).astype(jnp.float32)
-    iuv = jnp.stack([part.astype(jnp.float32),
-                     uv_sel[..., 0] * 255.0 * fg,
-                     uv_sel[..., 1] * 255.0 * fg], axis=-1)
-    if out_wh is not None and out_wh != h:
-        assert out_wh % h == 0, (out_wh, h)
-        rep = out_wh // h
-        iuv = jnp.repeat(jnp.repeat(iuv, rep, axis=1), rep, axis=2)
-    return iuv
+    return jnp.stack([part.astype(jnp.float32),
+                      uv_sel[..., 0] * 255.0 * fg,
+                      uv_sel[..., 1] * 255.0 * fg], axis=-1)

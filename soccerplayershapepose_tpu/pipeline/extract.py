@@ -9,12 +9,18 @@ vis, deleting the player when extraction fails (player_recon.py:118-121).
 Instead of two RCNN forwards per view, whole view batches run as one XLA
 program on the TPU.
 
-``detect_players_stage`` / ``crop_player_stage`` / ``crop_broad_player_stage``
-replace the torchvision Faster-RCNN drivers
+``crop_player_stage`` / ``crop_broad_player_stage`` /
+``crop_broad_player_images_stage`` replace the torchvision Faster-RCNN drivers
 (``PlayerDetection/player_detection.py:16-37, 83-250``) with the CenterNet-style
 JAX detector: frames are batched on device, boxes are thresholded on host and
 written to ``boxes.xml``; crops use the same green-padded square-crop helpers
-as the reference.
+as the reference. ``crop_player_stage`` walks the per-view
+``<game>/<scene>/<player>/<view>.png`` tree and writes one 512² crop back per
+VIEW (crop_player, :83-147); the broad stages write per-scene ``boxes.xml`` +
+box-overlay vis (crop_broad_player, :152-208) and the indexed
+``<player>/player.png`` crop tree (crop_broad_player_images, :213-250).
+``detect_players_stage`` fuses the two broad stages for every frame image in a
+scene (the reference's canonical layout has exactly one ``broad.png``).
 
 Instance selection parity: ProxyNet emits a whole-crop mask, so the
 largest-roughly-centred pick the reference applies to RCNN instances
@@ -39,7 +45,8 @@ from soccerplayershapepose_tpu.models.detector import (
 from soccerplayershapepose_tpu.models.perception import (
     ProxyNet, decode_iuv, decode_keypoints, decode_silhouette)
 from soccerplayershapepose_tpu.pipeline.detection import (
-    crop_broadcast_players, crop_player_view)
+    crop_broadcast_players, crop_player_view, select_centre_player)
+from soccerplayershapepose_tpu.pipeline.preprocess import square_crop_padded
 
 
 def read_image(path: str, wh: Optional[int] = None) -> np.ndarray:
@@ -168,6 +175,7 @@ def create_proxy_stage(extractor: ProxyExtractor, image_root: str,
 
     written = 0
     failed: List[str] = []
+    failed_set = set()   # player keys — keeps the delete atomic per player
     for start in range(0, len(jobs), batch_size):
         chunk = jobs[start:start + batch_size]
         images = np.stack([
@@ -179,6 +187,12 @@ def create_proxy_stage(extractor: ProxyExtractor, image_root: str,
                                      np.repeat(images[-1:], pad, axis=0)])
         results = extractor(images)
         for (node, view), (kp, sil, iuv), img in zip(chunk, results, images):
+            key = os.path.join(node.game, node.scene, node.player)
+            if key in failed_set:
+                # A sibling view already failed: the player was deleted
+                # atomically (player_recon.py:118-121); never resurrect it
+                # with a partial proxy set from a later view job.
+                continue
             player_dst = os.path.join(proxy_root, node.game, node.scene,
                                       node.player)
             if kp is None:
@@ -186,7 +200,8 @@ def create_proxy_stage(extractor: ProxyExtractor, image_root: str,
                 # (player_recon.py:118-121).
                 if os.path.isdir(player_dst):
                     shutil.rmtree(player_dst)
-                failed.append(os.path.join(node.game, node.scene, node.player))
+                failed.append(key)
+                failed_set.add(key)
                 continue
             os.makedirs(player_dst, exist_ok=True)
             stem = os.path.join(player_dst, os.path.splitext(view)[0])
@@ -235,19 +250,9 @@ class PlayerDetectorRunner:
         return out
 
 
-def detect_players_stage(runner: PlayerDetectorRunner, frame_root: str,
-                         out_root: str, batch_size: int = 4,
-                         broadcast: bool = True) -> dict:
-    """Detection + crop over a frame tree.
-
-    For each ``<game>/<scene>`` folder containing frame images: detect
-    players, write ``boxes.xml`` (JSON [[x1,y1,x2,y2], ...],
-    player_detection.py:206-207) and one green-padded 512² crop per player
-    (``<out>/<game>/<scene>/<idx>/player.png``, crop_broad_player_images
-    :213-250) — or, with ``broadcast=False``, one centre-player crop per
-    frame (crop_player, :83-147).
-    """
-    jobs = []
+def _scene_frames(frame_root: str) -> List[Tuple[str, str, List[str]]]:
+    """[(game, scene, [frame filenames])] — every image in every scene dir."""
+    scenes = []
     for game in sorted(os.listdir(frame_root)):
         gdir = os.path.join(frame_root, game)
         if not os.path.isdir(gdir):
@@ -259,34 +264,221 @@ def detect_players_stage(runner: PlayerDetectorRunner, frame_root: str,
             frames = sorted(f for f in os.listdir(sdir)
                             if f.endswith((".png", ".jpg")))
             if frames:
-                jobs.append((game, scene, os.path.join(sdir, frames[0])))
+                scenes.append((game, scene, frames))
+    return scenes
 
-    n_boxes = 0
+
+def _run_detector_batched(runner: PlayerDetectorRunner, jobs: Sequence[str],
+                          batch_size: int):
+    """Detect over a list of image paths; yields (path, orig, boxes) with
+    boxes rescaled back to original-image pixel space."""
     h, w = runner.hw
     for start in range(0, len(jobs), batch_size):
         chunk = jobs[start:start + batch_size]
-        raw = [read_image(path) for _, _, path in chunk]
+        raw = [read_image(path) for path in chunk]
         frames = np.stack([_resize_frame(r, (h, w)) for r in raw])
         per_frame = runner(frames)
-        for (game, scene, path), boxes, orig in zip(chunk, per_frame, raw):
-            scene_out = os.path.join(out_root, game, scene)
-            os.makedirs(scene_out, exist_ok=True)
-            # Boxes back in original-frame pixel space.
+        for path, boxes, orig in zip(chunk, per_frame, raw):
             sy = orig.shape[0] / h
             sx = orig.shape[1] / w
-            boxes = boxes * np.array([sx, sy, sx, sy])
-            io.write_boxes(os.path.join(scene_out, "boxes.xml"), boxes)
-            n_boxes += len(boxes)
-            if broadcast:
-                for i, crop in enumerate(crop_broadcast_players(orig, boxes)):
-                    pdir = os.path.join(scene_out, str(i + 1))
-                    os.makedirs(pdir, exist_ok=True)
-                    io.write_png(os.path.join(pdir, "player.png"), crop)
-            else:
-                crop = crop_player_view(orig, boxes)
-                if crop is not None:
-                    io.write_png(os.path.join(scene_out, "player.png"), crop)
-    return {"scenes": len(jobs), "boxes": n_boxes}
+            yield path, orig, boxes * np.array([sx, sy, sx, sy])
+
+
+def _draw_boxes(image: np.ndarray, boxes: np.ndarray,
+                color=(255, 0, 0), thickness: int = 2) -> np.ndarray:
+    """Box-rectangle overlay vis (cv2.rectangle role,
+    player_detection.py:183-188)."""
+    vis = image.copy()
+    h, w = vis.shape[:2]
+    for x1, y1, x2, y2 in np.asarray(boxes, np.int64):
+        x1, x2 = np.clip([x1, x2], 0, w - 1)
+        y1, y2 = np.clip([y1, y2], 0, h - 1)
+        for d in range(thickness):
+            vis[max(y1 - d, 0), x1:x2 + 1] = color
+            vis[min(y2 + d, h - 1), x1:x2 + 1] = color
+            vis[y1:y2 + 1, max(x1 - d, 0)] = color
+            vis[y1:y2 + 1, min(x2 + d, w - 1)] = color
+    return vis
+
+
+def crop_player_stage(runner: PlayerDetectorRunner, image_root: str,
+                      out_root: str, batch_size: int = 8,
+                      skip_player_one: bool = True,
+                      skip_if_present_root: Optional[str] = None,
+                      border: int = cfg.PLAYER_CROP_BORDER,
+                      out_size: int = cfg.PLAYER_CROP_SIZE[0],
+                      save_mid: bool = False) -> dict:
+    """Per-view crop driver: the reference ``crop_player``
+    (player_detection.py:83-147).
+
+    Walks ``<root>/<game>/<scene>/<player>/<view>.png``, detects the
+    centre-most player in EVERY view, and writes the bordered green-padded
+    square crop (resized to ``out_size``²) back as
+    ``<out>/<game>/<scene>/<player>/<view>`` — the input layout every
+    downstream stage consumes. ``skip_player_one`` mirrors ``check_index``
+    (player ``'1'`` is the reference/broad slot, :109-111);
+    ``skip_if_present_root`` mirrors ``check_board`` (skip players already in
+    the broadcast tree, :112-114). ``save_mid`` writes a ``*_rect.png`` box
+    overlay next to each crop (:132-135).
+
+    Returns {'written', 'skipped', 'missed': [view paths with no detection]}.
+    """
+    jobs: List[Tuple[io.PlayerTree, str]] = []
+    skipped = 0
+    for node in io.walk_player_tree(image_root):
+        if skip_player_one and node.player == "1":
+            skipped += len(node.views)
+            continue
+        if skip_if_present_root is not None and os.path.exists(
+                os.path.join(skip_if_present_root, node.game, node.scene,
+                             node.player)):
+            skipped += len(node.views)
+            continue
+        for view in node.views:
+            jobs.append((node, view))
+
+    written = 0
+    missed: List[str] = []
+    paths = [os.path.join(n.path, v) for n, v in jobs]
+    for (node, view), (path, orig, boxes) in zip(
+            jobs, _run_detector_batched(runner, paths, batch_size)):
+        crop = crop_player_view(orig, boxes, border=border)
+        if crop is None:
+            missed.append(os.path.join(node.game, node.scene, node.player,
+                                       view))
+            continue
+        if crop.shape[0] != out_size:
+            crop = _resize_frame(crop, (out_size, out_size))
+        player_dst = os.path.join(out_root, node.game, node.scene,
+                                  node.player)
+        os.makedirs(player_dst, exist_ok=True)
+        io.write_png(os.path.join(player_dst, view), crop)
+        if save_mid:
+            centre = select_centre_player(boxes, orig.shape[:2])
+            io.write_png(
+                os.path.join(player_dst,
+                             os.path.splitext(view)[0] + "_rect.png"),
+                _draw_boxes(orig, centre[None]))
+        written += 1
+    return {"written": written, "skipped": skipped, "missed": missed}
+
+
+def crop_broad_player_stage(runner: PlayerDetectorRunner, frame_root: str,
+                            box_root: str, vis_root: Optional[str] = None,
+                            batch_size: int = 4) -> dict:
+    """Broadcast detection driver: the reference ``crop_broad_player``
+    (player_detection.py:152-208).
+
+    For EVERY frame image in each ``<game>/<scene>`` dir: detect all
+    players, write the box list as JSON ``boxes.xml``
+    (player_detection.py:206-207) and a rectangle-overlay vis. The canonical
+    scene holds exactly one ``broad.png`` whose boxes become the scene-level
+    ``boxes.xml``; additional frames get ``<stem>_boxes.xml`` so nothing is
+    silently dropped.
+
+    Returns {'scenes', 'frames', 'boxes'}.
+    """
+    scenes = _scene_frames(frame_root)
+    jobs = [(g, s, f, len(frames) > 1)
+            for g, s, frames in scenes for f in frames]
+
+    n_boxes = 0
+    paths = [os.path.join(frame_root, g, s, f) for g, s, f, _ in jobs]
+    for (game, scene, fname, multi), (path, orig, boxes) in zip(
+            jobs, _run_detector_batched(runner, paths, batch_size)):
+        scene_out = os.path.join(box_root, game, scene)
+        os.makedirs(scene_out, exist_ok=True)
+        stem = os.path.splitext(fname)[0]
+        box_name = (stem + "_boxes.xml") if multi and stem != "broad" \
+            else "boxes.xml"
+        io.write_boxes(os.path.join(scene_out, box_name), boxes)
+        n_boxes += len(boxes)
+        if vis_root is not None:
+            vis_dir = os.path.join(vis_root, game, scene)
+            os.makedirs(vis_dir, exist_ok=True)
+            io.write_png(os.path.join(vis_dir, fname),
+                         _draw_boxes(orig, boxes))
+    return {"scenes": len(scenes), "frames": len(jobs), "boxes": n_boxes}
+
+
+def crop_broad_player_images_stage(box_root: str, frame_root: str,
+                                   image_root: str,
+                                   frame_name: str = "broad.png",
+                                   out_size: int = cfg.PLAYER_CROP_SIZE[0]
+                                   ) -> dict:
+    """Indexed broadcast crop driver: the reference
+    ``crop_broad_player_images`` (player_detection.py:213-250).
+
+    Reads each scene's ``boxes.xml`` + optional ``index.xml`` (player ids
+    assigned in the annotation GUI; defaults to ``2..len(boxes)+1`` — :238),
+    crops every box from the broadcast frame with border 0, and writes
+    ``<image_root>/<game>/<scene>/<index>/player.png``.
+
+    Returns {'scenes', 'crops'}.
+    """
+    n_scenes = n_crops = 0
+    for game, scene, frames in _scene_frames(frame_root):
+        sdir = os.path.join(box_root, game, scene)
+        boxes_path = os.path.join(sdir, "boxes.xml")
+        fname = frame_name if frame_name in frames else frames[0]
+        if not os.path.exists(boxes_path):
+            continue
+        boxes = io.read_boxes(boxes_path)
+        index_path = os.path.join(sdir, "index.xml")
+        indexes = io.read_index(index_path) if os.path.exists(index_path) \
+            else list(range(2, len(boxes) + 2))
+        image = read_image(os.path.join(frame_root, game, scene, fname))
+        n_scenes += 1
+        for box, index in zip(boxes, indexes):
+            crop = square_crop_padded(image, box, border=0,
+                                      out_size=out_size)
+            pdir = os.path.join(image_root, game, scene, str(index))
+            os.makedirs(pdir, exist_ok=True)
+            io.write_png(os.path.join(pdir, "player.png"), crop)
+            n_crops += 1
+    return {"scenes": n_scenes, "crops": n_crops}
+
+
+def detect_players_stage(runner: PlayerDetectorRunner, frame_root: str,
+                         out_root: str, batch_size: int = 4,
+                         broadcast: bool = True) -> dict:
+    """Fused broadcast driver: boxes + indexed crops in one pass.
+
+    Every frame image in each ``<game>/<scene>`` is processed. With
+    ``broadcast=True``: per-frame ``boxes.xml`` (crop_broad_player role) plus
+    one green-padded 512² crop per player
+    (``<out>/<game>/<scene>[/<frame stem>]/<idx>/player.png`` — the frame-stem
+    level appears only when a scene holds more than one frame, so the
+    canonical single-``broad.png`` layout matches crop_broad_player_images
+    exactly). With ``broadcast=False``: one centre-player crop per frame
+    (crop_player single-frame role).
+    """
+    scenes = _scene_frames(frame_root)
+    jobs = [(g, s, f, len(frames) > 1)
+            for g, s, frames in scenes for f in frames]
+    n_boxes = 0
+    paths = [os.path.join(frame_root, g, s, f) for g, s, f, _ in jobs]
+    for (game, scene, fname, multi), (path, orig, boxes) in zip(
+            jobs, _run_detector_batched(runner, paths, batch_size)):
+        scene_out = os.path.join(out_root, game, scene)
+        os.makedirs(scene_out, exist_ok=True)
+        stem = os.path.splitext(fname)[0]
+        box_name = (stem + "_boxes.xml") if multi and stem != "broad" \
+            else "boxes.xml"
+        io.write_boxes(os.path.join(scene_out, box_name), boxes)
+        n_boxes += len(boxes)
+        if broadcast:
+            base = os.path.join(scene_out, stem) if multi else scene_out
+            for i, crop in enumerate(crop_broadcast_players(orig, boxes)):
+                pdir = os.path.join(base, str(i + 1))
+                os.makedirs(pdir, exist_ok=True)
+                io.write_png(os.path.join(pdir, "player.png"), crop)
+        else:
+            crop = crop_player_view(orig, boxes)
+            if crop is not None:
+                name = (stem + "_player.png") if multi else "player.png"
+                io.write_png(os.path.join(scene_out, name), crop)
+    return {"scenes": len(scenes), "boxes": n_boxes}
 
 
 def _resize_frame(image: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:

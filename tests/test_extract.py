@@ -16,7 +16,8 @@ import pytest
 from soccerplayershapepose_tpu.io import formats as io
 from soccerplayershapepose_tpu.models.perception import ProxyNet
 from soccerplayershapepose_tpu.pipeline.extract import (
-    ProxyExtractor, create_proxy_stage, detect_players_stage,
+    ProxyExtractor, create_proxy_stage, crop_broad_player_images_stage,
+    crop_broad_player_stage, crop_player_stage, detect_players_stage,
     largest_centred_component, read_image)
 from soccerplayershapepose_tpu.smpl import load_assets
 from soccerplayershapepose_tpu.train.synth import synth_crop_batch
@@ -107,12 +108,134 @@ def test_create_proxy_stage_deletes_failed(tmp_path):
     assert not os.path.exists(os.path.join(proxy_root, "g1", "s1", "2"))
 
 
+def test_create_proxy_stage_failed_player_stays_deleted(tmp_path):
+    """A player whose LATER view fails must not be resurrected by earlier
+    batches having succeeded (atomic delete, player_recon.py:118-121)."""
+    image_root = str(tmp_path / "crops")
+    proxy_root = str(tmp_path / "proxy")
+    _write_tree(image_root, players=("2",),
+                views=("view_1.png", "view_2.png"))
+
+    class ViewTwoFails(OracleExtractor):
+        def __call__(self, images):
+            # batch_size=1 → one view per call; fail the second call only.
+            fail = self.calls == 1      # super().__call__ increments calls
+            out = super().__call__(images)
+            return [(None, None, None)] * len(images) if fail else out
+
+    res = create_proxy_stage(ViewTwoFails(wh=64), image_root, proxy_root,
+                             batch_size=1)
+    assert res["failed_players"] == [os.path.join("g1", "s1", "2")]
+    assert not os.path.exists(os.path.join(proxy_root, "g1", "s1", "2"))
+
+
 class OracleRunner:
     hw = (64, 64)
 
     def __call__(self, frames):
         return [np.array([[8.0, 8.0, 24.0, 40.0],
                           [40.0, 20.0, 56.0, 52.0]])] * len(frames)
+
+
+class EmptyRunner:
+    hw = (64, 64)
+
+    def __call__(self, frames):
+        return [np.zeros((0, 4))] * len(frames)
+
+
+def test_crop_player_stage(tmp_path):
+    """Per-view tree in → reference-layout crop tree out
+    (crop_player, player_detection.py:83-147)."""
+    image_root = str(tmp_path / "views")
+    out_root = str(tmp_path / "crops")
+    _write_tree(image_root, players=("1", "2", "3"),
+                views=("view_1.png", "view_2.png"), wh=128)
+    res = crop_player_stage(OracleRunner(), image_root, out_root,
+                            batch_size=3, save_mid=True)
+    # player '1' skipped (check_index), 2 players x 2 views written.
+    assert res["written"] == 4 and res["missed"] == []
+    assert res["skipped"] == 2
+    assert not os.path.exists(os.path.join(out_root, "g1", "s1", "1"))
+    crop = read_image(os.path.join(out_root, "g1", "s1", "2", "view_2.png"))
+    assert crop.shape == (512, 512, 3)
+    assert os.path.exists(
+        os.path.join(out_root, "g1", "s1", "2", "view_1_rect.png"))
+    # check_board semantics: players present in the broadcast tree skipped.
+    broad_root = str(tmp_path / "broad")
+    os.makedirs(os.path.join(broad_root, "g1", "s1", "2"))
+    res2 = crop_player_stage(OracleRunner(), image_root,
+                             str(tmp_path / "crops2"),
+                             skip_if_present_root=broad_root)
+    assert res2["written"] == 2 and res2["skipped"] == 4
+
+
+def test_crop_player_stage_missed(tmp_path):
+    image_root = str(tmp_path / "views")
+    _write_tree(image_root, players=("2",), wh=128)
+    res = crop_player_stage(EmptyRunner(), image_root,
+                            str(tmp_path / "out"))
+    assert res["written"] == 0
+    assert res["missed"] == [os.path.join("g1", "s1", "2", "view_1.png")]
+
+
+def test_crop_broad_player_stages(tmp_path):
+    """boxes.xml + vis per scene, then index.xml-driven player crops
+    (crop_broad_player / crop_broad_player_images,
+    player_detection.py:152-250)."""
+    frame_root = str(tmp_path / "frames")
+    box_root = str(tmp_path / "boxes")
+    vis_root = str(tmp_path / "vis")
+    image_root = str(tmp_path / "players")
+    sdir = os.path.join(frame_root, "g1", "s1")
+    os.makedirs(sdir)
+    rng = np.random.RandomState(0)
+    io.write_png(os.path.join(sdir, "broad.png"),
+                 rng.randint(0, 255, (128, 128, 3), np.uint8))
+    res = crop_broad_player_stage(OracleRunner(), frame_root, box_root,
+                                  vis_root)
+    assert res == {"scenes": 1, "frames": 1, "boxes": 2}
+    boxes = io.read_boxes(os.path.join(box_root, "g1", "s1", "boxes.xml"))
+    assert boxes.shape == (2, 4)
+    assert os.path.exists(os.path.join(vis_root, "g1", "s1", "broad.png"))
+
+    # Annotated indices (index.xml) name the player folders; default would
+    # be 2..len+1 (player_detection.py:238).
+    io.write_index(os.path.join(box_root, "g1", "s1", "index.xml"), [5, 9])
+    res2 = crop_broad_player_images_stage(box_root, frame_root, image_root)
+    assert res2 == {"scenes": 1, "crops": 2}
+    crop = read_image(os.path.join(image_root, "g1", "s1", "5", "player.png"))
+    assert crop.shape == (512, 512, 3)
+    assert os.path.exists(
+        os.path.join(image_root, "g1", "s1", "9", "player.png"))
+
+    # Without index.xml, indices default to 2..len+1.
+    os.remove(os.path.join(box_root, "g1", "s1", "index.xml"))
+    image_root2 = str(tmp_path / "players2")
+    crop_broad_player_images_stage(box_root, frame_root, image_root2)
+    assert os.path.exists(
+        os.path.join(image_root2, "g1", "s1", "2", "player.png"))
+    assert os.path.exists(
+        os.path.join(image_root2, "g1", "s1", "3", "player.png"))
+
+
+def test_detect_players_stage_all_frames(tmp_path):
+    """Scenes with several frames process every frame, not frames[0]."""
+    frame_root = str(tmp_path / "frames")
+    out_root = str(tmp_path / "det")
+    sdir = os.path.join(frame_root, "g1", "s1")
+    os.makedirs(sdir)
+    rng = np.random.RandomState(0)
+    for name in ("frame_000.png", "frame_001.png"):
+        io.write_png(os.path.join(sdir, name),
+                     rng.randint(0, 255, (128, 128, 3), np.uint8))
+    res = detect_players_stage(OracleRunner(), frame_root, out_root)
+    assert res == {"scenes": 1, "boxes": 4}
+    for stem in ("frame_000", "frame_001"):
+        assert io.read_boxes(os.path.join(
+            out_root, "g1", "s1", stem + "_boxes.xml")).shape == (2, 4)
+        assert os.path.exists(os.path.join(
+            out_root, "g1", "s1", stem, "1", "player.png"))
 
 
 def test_detect_players_stage(tmp_path):

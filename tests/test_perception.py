@@ -110,6 +110,32 @@ def test_proxynet_shapes_and_decoders(crop_batch):
     assert np.all(iuv[..., 1][bg] == 0)
 
 
+def test_decode_iuv_full_res_boundaries():
+    """out_wh upsamples logits BEFORE argmax: part boundaries are per-pixel,
+    not 4-px nearest blocks (predict_densepose.py:122-158 parity)."""
+    s, wh = 8, 32
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    # Diagonal soft boundary between part 1 and part 2, no background.
+    d = (xx + yy - (s - 1.0)) / 2.0
+    logits = np.full((1, s, s, 25), -10.0, np.float32)
+    logits[0, ..., 1] = -d * 3.0
+    logits[0, ..., 2] = d * 3.0
+    uv = np.zeros((1, s, s, 48), np.float32)
+    iuv = np.asarray(decode_iuv(jnp.asarray(logits), jnp.asarray(uv),
+                                out_wh=wh))
+    part = iuv[0, ..., 0]
+    assert set(np.unique(part)) == {1.0, 2.0}
+    # The diagonal boundary must cut through 4x4 blocks: some block is mixed.
+    blocks = part.reshape(wh // 4, 4, wh // 4, 4)
+    mixed = (blocks.min(axis=(1, 3)) != blocks.max(axis=(1, 3))).sum()
+    assert mixed > 0
+    # Boundary is (anti-)diagonal: per-row crossover column moves with row
+    # (interior rows — edge rows may sit entirely on one side).
+    r1, r2 = wh // 4, 3 * wh // 4
+    assert (part[r1] == 2.0).any() and (part[r2] == 2.0).any()
+    assert np.argmax(part[r1] == 2.0) > np.argmax(part[r2] == 2.0)
+
+
 def test_proxynet_train_step_descends(crop_batch):
     model = ProxyNet(with_iuv=True, channels=16)
     state, tx = make_proxynet_state(model, jax.random.PRNGKey(2), wh=128)
