@@ -92,6 +92,127 @@ def bench_fit():
     print(json.dumps(record))
 
 
+def bench_frame():
+    """BASELINE config 3 (BENCH_MODE=frame): full-frame dataplane — frames →
+    PlayerDetector → 22 square crops (ROI sampling) → ProxyNet → proxy →
+    regressor → fused SMPL LBS, as ONE jitted program
+    (pipeline/fullframe.py). Replaces the reference's four folder-walk
+    stages (player_detection.py:152-250 + player_recon.py:61-250)."""
+    import jax
+    import jax.numpy as jnp
+    from soccerplayershapepose_tpu.models.detector import PlayerDetector
+    from soccerplayershapepose_tpu.models.perception import ProxyNet
+    from soccerplayershapepose_tpu.pipeline.fullframe import \
+        build_frame_pipeline
+    from soccerplayershapepose_tpu.pipeline.predict import build_predictor
+    from soccerplayershapepose_tpu.smpl import load_assets
+
+    frames_n = int(os.environ.get("BENCH_FRAMES", "2"))
+    max_players = int(os.environ.get("BENCH_PLAYERS", "22"))
+    iters = int(os.environ.get("BENCH_FRAME_ITERS", "10"))
+    h, w = 512, 896
+    dtype = getattr(jnp, os.environ.get("BENCH_DTYPE", "bfloat16"))
+
+    assets = load_assets()
+    detector = PlayerDetector(dtype=dtype)
+    det_vars = detector.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, h, w, 3), jnp.float32))
+    proxynet = ProxyNet(with_iuv=False, dtype=dtype)
+    proxy_vars = proxynet.init(jax.random.PRNGKey(1),
+                               jnp.zeros((1, 512, 512, 3), jnp.float32))
+    regressor, reg_params, _ = build_predictor(
+        in_channels=18, dtype=os.environ.get("BENCH_DTYPE", "bfloat16"))
+    fn = build_frame_pipeline(detector, det_vars, proxynet, proxy_vars,
+                              regressor, reg_params,
+                              max_players=max_players, crop_wh=512)
+
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.rand(frames_n, h, w, 3).astype(np.float32))
+    out = fn(assets, frames)                                  # compile
+    float(out.vertices.sum())
+
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for _ in range(iters):
+        out = fn(assets, frames)
+        acc = acc + out.vertices[0, 0, 0, 0]
+    float(acc)
+    dt = time.perf_counter() - t0
+    fps = frames_n * iters / dt
+    print(json.dumps({
+        "metric": "full-frame pipeline (detect->crop->proxy->regress, "
+                  "%dx%d, %d players/frame)" % (h, w, max_players),
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "crops_per_s": round(fps * max_players, 1),
+    }))
+
+
+def bench_track():
+    """BASELINE config 5 (BENCH_MODE=track): broadcast-clip streaming —
+    multi-frame temporal batching with one shared shape per player
+    (fit/track.py, the multi-view phase-B math over time; reference
+    shape-consistency role)."""
+    import time as _time
+    import jax.numpy as jnp
+    from soccerplayershapepose_tpu.fit import FitConfig
+    from soccerplayershapepose_tpu.fit.track import TrackInit, track_fit
+    from soccerplayershapepose_tpu.ops import batch_rodrigues
+    from soccerplayershapepose_tpu.smpl import load_assets
+
+    assets = load_assets()
+    b = int(os.environ.get("BENCH_TRACK_PLAYERS", "11"))
+    t = int(os.environ.get("BENCH_TRACK_FRAMES", "4"))
+    rng = np.random.RandomState(0)
+    aa = rng.randn(b * t, 24, 3).astype(np.float32) * 0.15
+    rot = batch_rodrigues(jnp.asarray(aa)).reshape(b, t, 24, 3, 3)
+    init = TrackInit(
+        body_pose=rot[:, :, 1:], global_orient=rot[:, :, :1],
+        betas=jnp.asarray(rng.randn(b, t, 10).astype(np.float32) * 0.5),
+        cam_wp=jnp.tile(jnp.array([[[0.9, 0.0, 0.0]]]), (b, t, 1)))
+    sil = jnp.asarray((rng.rand(b, t, 512, 512) > 0.9).astype(np.float32))
+    j2d = jnp.asarray(rng.uniform(100, 400, (b, t, 17, 2)).astype(np.float32))
+    fit_cfg = FitConfig(iters=100, render_wh=256, iters_per_call=25,
+                        faces_per_chunk=86)
+
+    res = track_fit(assets, init, sil, j2d, fit_cfg)          # compile
+    float(res.joint_err.mean())
+    t0 = _time.perf_counter()
+    res = track_fit(assets, init, sil, j2d, fit_cfg)
+    float(res.joint_err.mean())
+    dt = _time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "clip streaming: 100-iter shared-shape track fits "
+                  "(%d players x %d frames, 256^2)" % (b, t),
+        "value": round(b / dt, 3),
+        "unit": "players/s",
+        "player_frames_per_s": round(b * t / dt, 2),
+    }))
+
+
+def _mode_subprocess(mode: str, timeout_s: float = 1500.0,
+                     attempts: int = 2):
+    """Run a BENCH_MODE=<mode> benchmark crash-isolated; parsed JSON or
+    None."""
+    import subprocess
+    import sys
+    env = dict(os.environ, BENCH_MODE=mode, _BENCH_TRY="9")
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=timeout_s)
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    return json.loads(line)
+        except Exception:
+            pass
+        if attempt + 1 < attempts:
+            _wait_for_device(1800)
+    return None
+
+
 def _fit_bench_subprocess(timeout_s: float = 1500.0, attempts: int = 2):
     """Run the fit benchmark in a crash-isolated subprocess (long silhouette
     fits are the programs that fault the remote worker) and return its
@@ -127,6 +248,10 @@ def main():
     _wait_for_device()
     if os.environ.get("BENCH_MODE") == "fit":
         return bench_fit()
+    if os.environ.get("BENCH_MODE") == "frame":
+        return bench_frame()
+    if os.environ.get("BENCH_MODE") == "track":
+        return bench_track()
 
     assets = load_assets()
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -176,6 +301,22 @@ def main():
             for k in ("fit512_metric", "fit512_value", "fit512_unit"):
                 if k in fit:
                     record[k] = fit[k]
+    # BASELINE configs 3 & 5 (VERDICT r2 #5), crash-isolated like the fit.
+    if os.environ.get("BENCH_SKIP_FRAME") != "1":
+        frame = _mode_subprocess("frame")
+        if frame is not None:
+            record["frame_metric"] = frame["metric"]
+            record["frame_value"] = frame["value"]
+            record["frame_unit"] = frame["unit"]
+            record["frame_crops_per_s"] = frame.get("crops_per_s")
+    if os.environ.get("BENCH_SKIP_TRACK") != "1":
+        track = _mode_subprocess("track")
+        if track is not None:
+            record["track_metric"] = track["metric"]
+            record["track_value"] = track["value"]
+            record["track_unit"] = track["unit"]
+            record["track_player_frames_per_s"] = \
+                track.get("player_frames_per_s")
     print(json.dumps(record))
 
 

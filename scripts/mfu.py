@@ -1,0 +1,133 @@
+"""MFU / roofline characterization (VERDICT r2 #8).
+
+Measures achieved FLOP/s for the predict slice via XLA's own cost analysis
+(compiled.cost_analysis) over the measured wall time, and compares against
+the v5e peak (197 TFLOP/s bf16 / 394 TOPS int8; VPU ~ 4 TOP/s-class for
+elementwise f32). For the fit loop it reports the rasterizer's achieved
+element throughput against a VPU-bound estimate, making the "fit is
+VPU-bound, predict is MXU-bound" claim in docs/PERF.md quantitative.
+
+Usage: python scripts/mfu.py [predict|fit]  (runs on the real chip)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_PEAK_BF16 = 197e12      # TFLOP/s, public v5e spec
+V5E_PEAK_F32 = 49e12        # ~bf16/4 for f32 matmul
+
+
+def mfu_predict():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from soccerplayershapepose_tpu.pipeline.predict import build_predictor
+    from soccerplayershapepose_tpu.smpl import load_assets
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    assets = load_assets()
+    _, params, fn = build_predictor(in_channels=18, resnet_layers=18,
+                                    dtype=dtype)
+    rng = np.random.RandomState(0)
+    sil = jnp.asarray((rng.rand(batch, 512, 512) > 0.8).astype(np.float32))
+    j2d = jnp.asarray(rng.uniform(64, 448, (batch, 17, 2)).astype(np.float32))
+
+    lowered = jax.jit(fn).lower(params, assets, sil, j2d)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, list) else cost
+    flops = float(cost.get("flops", 0.0))
+
+    out = fn(params, assets, sil, j2d)
+    float(out.vertices.sum())
+    iters = 20
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for _ in range(iters):
+        o = fn(params, assets, sil, j2d)
+        acc = acc + o.vertices[0, 0, 0]
+    float(acc)
+    dt = (time.perf_counter() - t0) / iters
+
+    achieved = flops / dt
+    peak = V5E_PEAK_BF16 if dtype == "bfloat16" else V5E_PEAK_F32
+    print(json.dumps({
+        "slice": "predict (crop->mesh, batch %d, %s)" % (batch, dtype),
+        "xla_flops_per_call": flops,
+        "wall_s_per_call": round(dt, 5),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "v5e_peak_tflops": peak / 1e12,
+        "mfu": round(achieved / peak, 4),
+        "gflops_per_crop": round(flops / batch / 1e9, 2),
+    }))
+
+
+def mfu_fit():
+    """Rasterizer kernel throughput vs a VPU-bound element estimate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from soccerplayershapepose_tpu.render.pallas_raster import (
+        _sorted_tri_and_ranges, default_band_h, soft_silhouette_fast)
+    from soccerplayershapepose_tpu.smpl import load_assets
+
+    assets = load_assets()
+    b = 22
+    wh = int(os.environ.get("BENCH_RASTER_WH", "256"))
+    rng = np.random.RandomState(0)
+    v2d = jnp.asarray(
+        (np.asarray(assets.v_template)[None, :, :2] * (wh * 0.45)
+         + wh / 2 + rng.randn(b, 1, 2) * 4).astype(np.float32))
+    band_h = default_band_h(wh)
+
+    def loss(v):
+        return jnp.sum(soft_silhouette_fast(v, assets.faces, wh,
+                                            band_h=band_h,
+                                            backface_cull=True) ** 2)
+
+    g = jax.jit(jax.grad(loss))
+    r = g(v2d)
+    float(jnp.abs(r).sum())
+    iters = 10
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for _ in range(iters):
+        acc = acc + g(v2d)[0, 0, 0]
+    float(acc)
+    dt = (time.perf_counter() - t0) / iters
+
+    # Candidate (face, pixel) visits actually evaluated: sum over bands of
+    # (hi-lo)*chunk faces × band pixels — the work the banded kernel admits.
+    chunk = 8
+    setup = _sorted_tri_and_ranges(v2d, assets.faces, chunk, True)
+    from soccerplayershapepose_tpu.render.pallas_raster import \
+        _band_chunk_bounds
+    sigma_px = 1e-5 * (wh / 2.0) ** 2
+    margin = (20.0 * sigma_px) ** 0.5 + 2.0
+    n_bands = -(-wh // band_h)
+    lo, hi = _band_chunk_bounds(setup[2], setup[3], n_bands, band_h, margin)
+    visits = float(jnp.sum((hi - lo)) * chunk * band_h * wh)
+
+    # ~70 VPU flops per (face, pixel) visit fwd + ~110 bwd (counted from the
+    # kernel bodies); v5e VPU ~ 4 TFLOP/s-class for f32 elementwise.
+    est_flops = visits * 180.0
+    print(json.dumps({
+        "slice": "fit rasterizer fwd+bwd (22 players, %d^2)" % wh,
+        "wall_s_per_call": round(dt, 4),
+        "candidate_visits": visits,
+        "est_vpu_flops_per_call": est_flops,
+        "achieved_vpu_tflops": round(est_flops / dt / 1e12, 3),
+        "vpu_peak_tflops_class": 4.0,
+        "fraction_of_vpu_peak": round(est_flops / dt / 4e12, 3),
+    }))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "predict"
+    (mfu_predict if mode == "predict" else mfu_fit)()

@@ -1,0 +1,349 @@
+"""Segmented TPU training driver for the perception nets.
+
+Trains ProxyNet / PlayerDetector on the domain-randomized synth factory with
+the same crash-envelope discipline bench.py uses: the `drive-*` modes run
+training in bounded subprocess segments (checkpoint + re-exec), so a remote
+TPU worker fault costs one segment, not the run. Held-out eval runs between
+segments (crash-isolated too) and the best inference weights are kept.
+
+Replaces the reference's weight *download* step (predict_3D.py:35-64,
+player_detection.py:86-87) with an in-repo training capability.
+
+Usage:
+  python scripts/train_perception.py drive-proxynet --steps 6000 --batch 16 \
+      --wh 256 --ckpt-dir weights/proxynet_r03 [--finetune-from DIR]
+  python scripts/train_perception.py drive-detector --steps 4000 --batch 8 \
+      --ckpt-dir weights/detector_r03
+  python scripts/train_perception.py eval-proxynet --ckpt-dir ... --wh 512 \
+      --json QUALITY_proxynet.json
+  python scripts/train_perception.py eval-detector --ckpt-dir ... --json ...
+
+Internal (one segment, called by drive-*): proxynet / detector.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SEGMENT_RC = 10          # segment finished, more steps remain
+
+
+def _log(ckpt_dir, record):
+    with open(os.path.join(ckpt_dir, "log.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def _save_state(path, state):
+    import numpy as np
+    from soccerplayershapepose_tpu.train.checkpoint import _flatten
+    tree = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step}
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **_flatten(tree))
+    os.replace(tmp, path)
+
+
+def _load_state(path, template_state):
+    import numpy as np
+    from soccerplayershapepose_tpu.train.checkpoint import _unflatten_like
+    from soccerplayershapepose_tpu.train.perception import \
+        PerceptionTrainState
+    tree = {"params": template_state.params,
+            "batch_stats": template_state.batch_stats,
+            "opt_state": template_state.opt_state,
+            "step": template_state.step}
+    flat = dict(np.load(path))
+    t = _unflatten_like(tree, flat)
+    return PerceptionTrainState(t["params"], t["batch_stats"],
+                                t["opt_state"], t["step"])
+
+
+def _make_tx(args):
+    import optax
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=args.lr,
+        warmup_steps=max(min(300, args.steps // 10), 1),
+        decay_steps=args.steps, end_value=args.lr * 0.05)
+    return optax.adam(sched)
+
+
+def _proxynet_setup(args):
+    import jax
+    from soccerplayershapepose_tpu.models.perception import ProxyNet
+    from soccerplayershapepose_tpu.train.perception import \
+        make_proxynet_state
+    model = ProxyNet(with_iuv=not args.no_iuv, channels=args.channels)
+    tx = _make_tx(args)
+    state, _ = make_proxynet_state(model, jax.random.PRNGKey(args.seed),
+                                   wh=args.wh, tx=tx)
+    return model, tx, state
+
+
+def _detector_setup(args):
+    import jax
+    from soccerplayershapepose_tpu.models.detector import PlayerDetector
+    from soccerplayershapepose_tpu.train.perception import \
+        make_detector_state
+    model = PlayerDetector(channels=args.channels)
+    tx = _make_tx(args)
+    state, _ = make_detector_state(model, jax.random.PRNGKey(args.seed),
+                                   hw=(args.h, args.w), tx=tx)
+    return model, tx, state
+
+
+def _train_segment(args, kind):
+    """Run up to --segment steps; exit SEGMENT_RC if more steps remain."""
+    import jax
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.train.perception import (
+        make_detector_train_step, make_proxynet_train_step,
+        save_perception_weights)
+    from soccerplayershapepose_tpu.train.synth import (
+        synth_crop_batch, synth_frame_batch)
+
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    assets = load_assets()
+    base = jax.random.PRNGKey(args.seed + 1)
+    if kind == "proxynet":
+        model, tx, state = _proxynet_setup(args)
+        step_fn = jax.jit(make_proxynet_train_step(model, tx))
+        synth_fn = lambda i: synth_crop_batch(  # noqa: E731
+            assets, jax.random.fold_in(base, i), b=args.batch, wh=args.wh)
+        if args.real_image_root:
+            # Distillation mix: real crops labeled by precomputed proxies
+            # (train/real_data.py) alongside the synth factory.
+            from soccerplayershapepose_tpu.train.real_data import (
+                mixed_batches, proxy_tree_batches)
+            real = proxy_tree_batches(
+                args.real_image_root, args.real_proxy_root or
+                args.real_image_root, batch=args.batch, wh=args.wh,
+                seed=args.seed)
+            mixer = mixed_batches(synth_fn, real, p_real=args.p_real,
+                                  seed=args.seed)
+            batch_fn = lambda i: next(mixer)  # noqa: E731
+        else:
+            batch_fn = synth_fn
+    else:
+        model, tx, state = _detector_setup(args)
+        step_fn = jax.jit(make_detector_train_step(model, tx))
+        batch_fn = lambda i: synth_frame_batch(  # noqa: E731
+            assets, jax.random.fold_in(base, i), b=args.batch,
+            n_players=args.players, hw=(args.h, args.w))
+
+    state_path = os.path.join(args.ckpt_dir, "state.npz")
+    if os.path.exists(state_path):
+        state = _load_state(state_path, state)
+    elif args.finetune_from:
+        # Warm-start params/batch_stats from another run (e.g. 256² → 512²
+        # resolution fine-tune; the nets are fully convolutional).
+        from soccerplayershapepose_tpu.train.perception import \
+            load_perception_weights
+        variables = load_perception_weights(
+            os.path.join(args.finetune_from, "weights_last.npz"), model,
+            wh=args.wh, hw=(args.h, args.w) if kind == "detector" else None)
+        state = state._replace(params=variables["params"],
+                               batch_stats=variables["batch_stats"])
+
+    start = int(state.step)
+    if start >= args.steps:
+        print(f"{kind}: training complete at step {start}")
+        return 0
+    end = min(start + args.segment, args.steps)
+    t0 = time.time()
+    for i in range(start, end):
+        batch = batch_fn(i)
+        state, losses = step_fn(state, batch)
+        if (i + 1) % args.log_every == 0:
+            # Force completion (tunnel: block_until_ready alone is unreliable)
+            vals = {k: float(v) for k, v in losses.items()}
+            rate = (i + 1 - start) / (time.time() - t0)
+            print(f"{kind} step {i + 1}/{args.steps}: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
+                  + f" ({rate:.2f} steps/s)", flush=True)
+            _log(args.ckpt_dir, {"kind": kind, "step": i + 1, **vals,
+                                 "steps_per_s": rate})
+    float(losses["total"])          # sync before checkpointing
+    _save_state(state_path, state)
+    save_perception_weights(
+        os.path.join(args.ckpt_dir, "weights_last.npz"), state)
+    print(f"{kind}: segment done at step {int(state.step)}", flush=True)
+    return 0 if int(state.step) >= args.steps else SEGMENT_RC
+
+
+def _eval_proxynet(args):
+    import jax
+    from soccerplayershapepose_tpu.models.perception import ProxyNet
+    from soccerplayershapepose_tpu.pipeline.extract import ProxyExtractor
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.train.perception import \
+        load_perception_weights
+    from soccerplayershapepose_tpu.train.quality import evaluate_proxynet
+
+    model = ProxyNet(with_iuv=not args.no_iuv, channels=args.channels)
+    weights = args.weights or os.path.join(args.ckpt_dir, "weights_last.npz")
+    variables = load_perception_weights(weights, model, wh=args.wh)
+    ex = ProxyExtractor(model, variables, wh=args.wh)
+    assets = load_assets()
+    out = evaluate_proxynet(ex, assets, n_batches=args.eval_batches,
+                            batch=args.batch, wh=args.wh,
+                            occluders=not args.no_occluders)
+    out["weights"] = weights
+    print(json.dumps(out), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+def _eval_detector(args):
+    from soccerplayershapepose_tpu.models.detector import PlayerDetector
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.train.perception import \
+        load_perception_weights
+    from soccerplayershapepose_tpu.train.quality import evaluate_detector
+
+    model = PlayerDetector(channels=args.channels)
+    weights = args.weights or os.path.join(args.ckpt_dir, "weights_last.npz")
+    variables = load_perception_weights(weights, model, hw=(args.h, args.w))
+    assets = load_assets()
+    out = evaluate_detector(model, variables, assets,
+                            n_batches=args.eval_batches, batch=args.batch,
+                            hw=(args.h, args.w), n_players=args.players)
+    out["weights"] = weights
+    print(json.dumps(out), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+def _wait_for_device(max_wait_s=2400):
+    deadline = time.time() + max_wait_s
+    probe = "import jax, jax.numpy as jnp; print(float(jnp.ones((8,)).sum()))"
+    while time.time() < deadline:
+        try:
+            out = subprocess.run([sys.executable, "-c", probe],
+                                 capture_output=True, timeout=120)
+            if out.returncode == 0 and b"8.0" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print("waiting for device...", flush=True)
+        time.sleep(30)
+    return False
+
+
+def _drive(args, kind, argv):
+    """Outer loop: segment subprocesses + eval + best-weights tracking."""
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    best_path = os.path.join(args.ckpt_dir, "best.json")
+    best = None
+    if os.path.exists(best_path):
+        with open(best_path) as f:
+            best = json.load(f)
+
+    inner = [a for a in argv if a != f"drive-{kind}"]
+    inner_cmd = [sys.executable, os.path.abspath(__file__), kind] + inner
+    eval_cmd = [sys.executable, os.path.abspath(__file__),
+                f"eval-{kind}"] + inner
+
+    while True:
+        try:
+            rc = subprocess.run(inner_cmd, timeout=args.segment_timeout
+                                ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc not in (0, SEGMENT_RC):
+            print(f"segment crashed (rc={rc}); waiting for device",
+                  flush=True)
+            if not _wait_for_device():
+                return 1
+            continue
+
+        if args.eval_batches > 0:
+            try:
+                out = subprocess.run(eval_cmd, capture_output=True,
+                                     timeout=args.segment_timeout)
+                line = out.stdout.decode().strip().splitlines()[-1]
+                metrics = json.loads(line)
+                key = ("kp_pck@0.10bbox" if kind == "proxynet"
+                       else "ap@0.5")
+                extra = metrics.get("mask_mean_iou", 0.0) or 0.0 \
+                    if kind == "proxynet" else 0.0
+                score = (metrics.get(key) or 0.0) + extra
+                _log(args.ckpt_dir, {"kind": f"eval-{kind}", **metrics})
+                print("eval:", json.dumps(metrics), flush=True)
+                if best is None or score > best["score"]:
+                    best = {"score": score, **metrics}
+                    with open(best_path, "w") as f:
+                        json.dump(best, f, indent=1)
+                    import shutil
+                    shutil.copyfile(
+                        os.path.join(args.ckpt_dir, "weights_last.npz"),
+                        os.path.join(args.ckpt_dir, "weights_best.npz"))
+                    print(f"new best score {score:.4f}", flush=True)
+            except Exception as e:   # eval crash: skip, keep training
+                print(f"eval failed: {e}", flush=True)
+                _wait_for_device()
+
+        if rc == 0:
+            print("drive: training complete", flush=True)
+            return 0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("mode", choices=[
+        "proxynet", "detector", "drive-proxynet", "drive-detector",
+        "eval-proxynet", "eval-detector"])
+    p.add_argument("--steps", type=int, default=6000)
+    p.add_argument("--segment", type=int, default=400)
+    p.add_argument("--segment-timeout", type=int, default=2400)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--wh", type=int, default=256)
+    p.add_argument("--h", type=int, default=256)
+    p.add_argument("--w", type=int, default=448)
+    p.add_argument("--players", type=int, default=8)
+    p.add_argument("--channels", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--eval-batches", type=int, default=4)
+    p.add_argument("--no-iuv", action="store_true")
+    p.add_argument("--no-occluders", action="store_true")
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--real-image-root", default=None,
+                   help="crop tree for distillation mixing")
+    p.add_argument("--real-proxy-root", default=None)
+    p.add_argument("--p-real", type=float, default=0.3)
+    p.add_argument("--finetune-from", default=None)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--json", default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="pin the default device to CPU (the axon plugin "
+                        "ignores JAX_PLATFORMS; tests/smoke runs use this)")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    if args.mode in ("proxynet", "detector"):
+        sys.exit(_train_segment(args, args.mode))
+    if args.mode.startswith("drive-"):
+        kind = args.mode.split("-", 1)[1]
+        sys.exit(_drive(args, kind, sys.argv[1:]))
+    if args.mode == "eval-proxynet":
+        sys.exit(_eval_proxynet(args))
+    sys.exit(_eval_detector(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,38 @@ def main(argv=None) -> int:
     p.add_argument("--score-thresh", type=float,
                    default=cfg.DETECTION_SCORE_THRESH)
 
+    p = sub.add_parser("crop-player",
+                       help="per-view centre-player crops over a "
+                            "<game>/<scene>/<player>/<view> tree "
+                            "(player_detection.py crop_player)")
+    p.add_argument("--image-root", required=True)
+    p.add_argument("--out-root", required=True)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--score-thresh", type=float,
+                   default=cfg.DETECTION_SCORE_THRESH)
+    p.add_argument("--keep-player-one", action="store_true")
+    p.add_argument("--skip-if-present", default=None,
+                   help="broadcast tree root (check_board semantics)")
+    p.add_argument("--save-mid", action="store_true")
+
+    p = sub.add_parser("crop-broad-player",
+                       help="broadcast boxes.xml + vis, then index.xml-"
+                            "driven player crops (crop_broad_player[_images])")
+    p.add_argument("--frame-root", required=True)
+    p.add_argument("--box-root", required=True)
+    p.add_argument("--vis-root", default=None)
+    p.add_argument("--player-root", default=None,
+                   help="also write <index>/player.png crops here")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=448)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--score-thresh", type=float,
+                   default=cfg.DETECTION_SCORE_THRESH)
+
     args = parser.parse_args(argv)
 
     if args.command == "train-perception":
@@ -191,6 +223,35 @@ def main(argv=None) -> int:
                                       score_thresh=args.score_thresh)
         out = detect_players_stage(runner, args.frame_root, args.out_root,
                                    batch_size=args.batch_size)
+        print(json.dumps(out))
+        return 0
+
+    if args.command in ("crop-player", "crop-broad-player"):
+        from soccerplayershapepose_tpu.models.detector import PlayerDetector
+        from soccerplayershapepose_tpu.pipeline.extract import (
+            PlayerDetectorRunner, crop_broad_player_images_stage,
+            crop_broad_player_stage, crop_player_stage)
+        from soccerplayershapepose_tpu.train.perception import (
+            load_perception_weights)
+        model = PlayerDetector()
+        hw = (args.height, args.width)
+        variables = load_perception_weights(args.weights, model, hw=hw)
+        runner = PlayerDetectorRunner(model, variables, hw,
+                                      score_thresh=args.score_thresh)
+        if args.command == "crop-player":
+            out = crop_player_stage(
+                runner, args.image_root, args.out_root,
+                batch_size=args.batch_size,
+                skip_player_one=not args.keep_player_one,
+                skip_if_present_root=args.skip_if_present,
+                save_mid=args.save_mid)
+        else:
+            out = crop_broad_player_stage(runner, args.frame_root,
+                                          args.box_root, args.vis_root,
+                                          batch_size=args.batch_size)
+            if args.player_root:
+                out["images"] = crop_broad_player_images_stage(
+                    args.box_root, args.frame_root, args.player_root)
         print(json.dumps(out))
         return 0
 

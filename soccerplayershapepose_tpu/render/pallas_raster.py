@@ -507,43 +507,55 @@ def _band_bwd_kernel(lo_ref, hi_ref, ymin_ref, ymax_ref, xmin_ref,
             # dL/d(d²_min) per (face, pixel)
             gd2 = gs[None] * dcov / sigma_px * sign * nondeg[:, None, None]
 
-            # The 12 pixel reductions are most of the per-visit VPU work;
+            # The pixel reductions are most of the per-visit VPU work.
+            # Each vertex's gradient sums TWO edge contributions (it is an
+            # endpoint of two edges); combining them at pixel level FIRST
+            # halves the reduction passes: 6 reductions instead of 12.
             # SPT_PALLAS_DOTRED=1 runs them as (chunk, P)·(P, 1) matmuls on
             # the otherwise-idle MXU instead.
             ones_p = jnp.ones((band_h * tile_w, 1), jnp.float32)
 
-            def endpoint_grads(is_min, tt, rx, ry):
-                """Grads for one edge on its min-distance region.
-
-                All reductions keep 2-D shapes (chunk, 1) — Mosaic rejects
-                1-D intermediates (layout rank check)."""
-                w = gd2 * is_min
-
-                def red(v):
-                    flat = (w * v).reshape(chunk, band_h * tile_w)
-                    if _USE_DOTRED:
-                        return jax.lax.dot_general(
-                            flat, ones_p, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                    return jnp.sum(flat, axis=1, keepdims=True)
-                return (red(-2.0 * rx * (1.0 - tt)),
-                        red(-2.0 * ry * (1.0 - tt)),
-                        red(-2.0 * rx * tt),
-                        red(-2.0 * ry * tt))
+            def red(v):
+                """(chunk, band_h, tile_w) → (chunk, 1); 2-D shapes only —
+                Mosaic rejects 1-D intermediates (layout rank check)."""
+                flat = v.reshape(chunk, band_h * tile_w)
+                if _USE_DOTRED:
+                    return jax.lax.dot_general(
+                        flat, ones_p, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                return jnp.sum(flat, axis=1, keepdims=True)
 
             # Vertex Voronoi regions tie adjacent edges exactly (distance to
             # the shared endpoint); strict priority keeps them exclusive so
-            # the shared vertex is not double-counted.
+            # the shared vertex is not double-counted. Envelope theorem:
+            # dd²/d(endpoint0) = −2r(1−t), dd²/d(endpoint1) = −2rt on the
+            # min edge's region.
             min0 = (d0 <= d1) & (d0 <= d2)
             min1 = (d1 < d0) & (d1 <= d2)
             min2 = (d2 < d0) & (d2 < d1)
-            e0x0, e0y0, e0x1, e0y1 = endpoint_grads(min0, t0, rx0, ry0)
-            e1x0, e1y0, e1x1, e1y1 = endpoint_grads(min1, t1, rx1, ry1)
-            e2x0, e2y0, e2x1, e2y1 = endpoint_grads(min2, t2, rx2, ry2)
-
-            g6 = jnp.concatenate([e0x0 + e2x1, e0y0 + e2y1,
-                                  e0x1 + e1x0, e0y1 + e1y0,
-                                  e1x1 + e2x0, e1y1 + e2y0], axis=1)
+            q0 = gd2 * min0
+            q1 = gd2 * min1
+            q2 = gd2 * min2
+            # Shared per-edge products: u = q·r (endpoint-0 + endpoint-1
+            # total), v = q·r·t (endpoint-1 share); endpoint 0 gets u − v.
+            ux0 = q0 * rx0
+            uy0 = q0 * ry0
+            ux1 = q1 * rx1
+            uy1 = q1 * ry1
+            ux2 = q2 * rx2
+            uy2 = q2 * ry2
+            vx0 = ux0 * t0
+            vy0 = uy0 * t0
+            vx1 = ux1 * t1
+            vy1 = uy1 * t1
+            vx2 = ux2 * t2
+            vy2 = uy2 * t2
+            # Vertex a = edge0 endpoint0 + edge2 endpoint1, etc.
+            g6 = jnp.concatenate(
+                [red(vx0 - ux0 - vx2), red(vy0 - uy0 - vy2),
+                 red(vx1 - ux1 - vx0), red(vy1 - uy1 - vy0),
+                 red(vx2 - ux2 - vx1), red(vy2 - uy2 - vy1)],
+                axis=1) * 2.0
             dtri_ref[0, pl.ds(c * chunk, chunk), :] += g6
 
         return 0

@@ -9,9 +9,12 @@ batch, scalable over the ``data`` mesh axis like every other trainer in this
 package.
 
 Losses:
-* keypoints — pixel-weighted MSE between sigmoided stride-4 heatmaps and
-  Gaussian targets (σ matching the proxy heatmap convention,
-  label_conversions.py:58-87, rescaled to head resolution),
+* keypoints — penalty-reduced focal loss (CenterNet-style) on sigmoided
+  stride-4 heatmaps against peak-normalized Gaussian targets scaled by
+  per-joint VISIBILITY, so ``sigmoid(peak logit)`` is a calibrated
+  "joint present and localized" confidence — the role KP-RCNN scores play
+  downstream (utils/joints2d_utils.py:23-33); occluded/out-of-frame joints
+  train toward zero response,
 * silhouette — full-resolution BCE with logits,
 * IUV — softmax cross-entropy over background+24 parts, plus L1 on the
   ground-truth part's UV channels inside the body,
@@ -97,12 +100,25 @@ def proxynet_losses(model: ProxyNet, params, batch_stats, batch,
 
     # Keypoint heatmaps: Gaussian targets at head resolution. σ=4 at 512
     # proxy scale (label_conversions.py:66) ≡ σ=1 at stride 4; use 1.5 cells
-    # for a slightly wider basin.
+    # for a slightly wider basin. Targets are peak-normalized (exact 1.0 at
+    # the peak cell) and zeroed for invisible joints, then trained with the
+    # penalty-reduced focal loss so peak sigmoids calibrate as confidences.
     kp_t = gaussian_heatmap_targets(
         batch["joints2d"] * (small / wh), small, sigma=1.5)     # (B,s,s,17)
+    kp_t = kp_t / jnp.maximum(
+        jnp.max(kp_t, axis=(1, 2), keepdims=True), 1e-6)
+    vis = batch.get("kp_visible")
+    if vis is None:
+        vis = jnp.ones(kp_t.shape[:1] + kp_t.shape[-1:])
+    kp_t = kp_t * vis[:, None, None, :]
     kp_p = jax.nn.sigmoid(out.kp_logits)
-    kp_w = 1.0 + 20.0 * kp_t                    # counter bg/fg imbalance
-    kp_loss = jnp.mean(kp_w * (kp_p - kp_t) ** 2) * 10.0
+    pos = (kp_t >= 0.999).astype(jnp.float32)
+    eps = 1e-6
+    pos_term = -jnp.log(kp_p + eps) * (1 - kp_p) ** 2 * pos
+    neg_term = -jnp.log(1 - kp_p + eps) * kp_p ** 2 \
+        * (1 - kp_t) ** 4 * (1 - pos)
+    n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+    kp_loss = (jnp.sum(pos_term) + jnp.sum(neg_term)) / n_pos
 
     mask_t = batch["silhouette"]
     mask_loss = jnp.mean(optax.sigmoid_binary_cross_entropy(
@@ -112,10 +128,16 @@ def proxynet_losses(model: ProxyNet, params, batch_stats, batch,
     total = kp_loss + mask_loss
     if model.with_iuv and out.part_logits is not None:
         part_t = batch["part"]                                   # (B,s,s)
-        part_loss = jnp.mean(
-            optax.softmax_cross_entropy_with_integer_labels(
-                out.part_logits, part_t))
-        fg = (part_t > 0).astype(jnp.float32)
+        # Per-sample IUV validity (real-proxy batches may lack IUV labels,
+        # train/real_data.py): invalid samples contribute zero part/UV loss.
+        iuv_valid = batch.get("iuv_valid")
+        if iuv_valid is None:
+            iuv_valid = jnp.ones(part_t.shape[:1])
+        n_valid = jnp.maximum(jnp.sum(iuv_valid), 1.0)
+        part_loss = jnp.sum(
+            jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                out.part_logits, part_t), axis=(1, 2)) * iuv_valid) / n_valid
+        fg = (part_t > 0).astype(jnp.float32) * iuv_valid[:, None, None]
         sel = jnp.clip(part_t - 1, 0, NUM_PARTS - 1)
         uv_p = jax.nn.sigmoid(out.uv.reshape(
             out.uv.shape[:3] + (NUM_PARTS, 2)))
@@ -167,12 +189,20 @@ def make_detector_train_step(model: PlayerDetector,
     return train_step
 
 
-def save_perception_weights(path: str, state: PerceptionTrainState) -> None:
-    """Save ProxyNet/PlayerDetector inference weights as a flat .npz."""
+def save_perception_weights(path: str, state: PerceptionTrainState,
+                            dtype=None, compress: bool = False) -> None:
+    """Save ProxyNet/PlayerDetector inference weights as a flat .npz.
+
+    ``dtype='float16'`` + ``compress=True`` halves committed-artifact size;
+    :func:`load_perception_weights` casts back to the model dtype."""
     import numpy as np
     from soccerplayershapepose_tpu.train.checkpoint import _flatten
     tree = {"params": state.params, "batch_stats": state.batch_stats}
-    np.savez(path, **_flatten(tree))
+    flat = _flatten(tree)
+    if dtype is not None:
+        flat = {k: v.astype(dtype) if v.dtype == np.float32 else v
+                for k, v in flat.items()}
+    (np.savez_compressed if compress else np.savez)(path, **flat)
 
 
 def load_perception_weights(path: str, model, wh: int = 256,

@@ -26,3 +26,26 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+# ---------------------------------------------------------------------------
+# Two test tiers (VERDICT r2 #9): the default run DESELECTS slow-marked
+# tests (fast tier, < 10 min); `--runslow` or SPT_RUN_SLOW=1 runs the full
+# suite. Explicit node ids (pytest tests/test_fit.py::test_x) always run.
+# ---------------------------------------------------------------------------
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run slow-marked tests (full tier)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("SPT_RUN_SLOW") == "1":
+        return
+    if any("::" in a for a in config.args):
+        return   # explicitly requested tests always run
+    selected = [i for i in items if not i.get_closest_marker("slow")]
+    deselected = [i for i in items if i.get_closest_marker("slow")]
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected

@@ -53,16 +53,39 @@ def test_synth_crop_batch_contract(crop_batch):
 
 
 def test_synth_keypoints_on_body(crop_batch):
-    # Each projected keypoint must land inside (or within a few px of) the
-    # rendered silhouette's bbox.
+    # Each VISIBLE projected keypoint must land inside (or within a few px
+    # of) the rendered silhouette's bbox; occluded/out-of-frame joints are
+    # flagged invisible instead.
     sil = np.asarray(crop_batch["silhouette"])
     j2d = np.asarray(crop_batch["joints2d"])
+    vis = np.asarray(crop_batch["kp_visible"]) > 0.5
+    assert vis.any()
     for i in range(sil.shape[0]):
+        if not vis[i].any():
+            continue
         ys, xs = np.nonzero(sil[i])
-        assert (j2d[i, :, 0] > xs.min() - 6).all()
-        assert (j2d[i, :, 0] < xs.max() + 6).all()
-        assert (j2d[i, :, 1] > ys.min() - 6).all()
-        assert (j2d[i, :, 1] < ys.max() + 6).all()
+        v = vis[i]
+        assert (j2d[i, v, 0] > xs.min() - 8).all()
+        assert (j2d[i, v, 0] < xs.max() + 8).all()
+        assert (j2d[i, v, 1] > ys.min() - 8).all()
+        assert (j2d[i, v, 1] < ys.max() + 8).all()
+
+
+def test_synth_occluder_geometry(assets):
+    """With occluders forced present/in front, GT silhouette is the VISIBLE
+    region: a no-occluder render of the same player covers at least as much."""
+    rng = jax.random.PRNGKey(11)
+    with_occ = synth_crop_batch(assets, rng, b=4, wh=128, occluders=True)
+    no_occ = synth_crop_batch(assets, rng, b=4, wh=128, occluders=False)
+    s_occ = np.asarray(with_occ["silhouette"])
+    s_no = np.asarray(no_occ["silhouette"])
+    # Same player params (same rng) → occluded sil ⊆ unoccluded sil.
+    assert ((s_occ <= s_no + 1e-6).mean()) > 0.999
+    assert s_no.sum() >= s_occ.sum()
+    # Visibility never marks a joint visible off the visible body.
+    vis = np.asarray(with_occ["kp_visible"])
+    assert vis.shape == (4, 17)
+    assert set(np.unique(vis)) <= {0.0, 1.0}
 
 
 def test_vertex_parts_uv(assets):
