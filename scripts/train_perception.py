@@ -115,7 +115,9 @@ def _train_segment(args, kind):
         model, tx, state = _proxynet_setup(args)
         step_fn = jax.jit(make_proxynet_train_step(model, tx))
         synth_fn = lambda i: synth_crop_batch(  # noqa: E731
-            assets, jax.random.fold_in(base, i), b=args.batch, wh=args.wh)
+            assets, jax.random.fold_in(base, i), b=args.batch, wh=args.wh,
+            occluders=not args.no_occluders,
+            domain_rand=not args.no_domain_rand)
         if args.real_image_root:
             # Distillation mix: real crops labeled by precomputed proxies
             # (train/real_data.py) alongside the synth factory.
@@ -193,7 +195,8 @@ def _eval_proxynet(args):
     assets = load_assets()
     out = evaluate_proxynet(ex, assets, n_batches=args.eval_batches,
                             batch=args.batch, wh=args.wh,
-                            occluders=not args.no_occluders)
+                            occluders=not args.no_occluders,
+                            domain_rand=not args.eval_easy)
     out["weights"] = weights
     print(json.dumps(out), flush=True)
     if args.json:
@@ -318,6 +321,11 @@ def main():
     p.add_argument("--eval-batches", type=int, default=4)
     p.add_argument("--no-iuv", action="store_true")
     p.add_argument("--no-occluders", action="store_true")
+    p.add_argument("--no-domain-rand", action="store_true",
+                   help="ablation baseline: plain background, no blur/"
+                        "photometric jitter")
+    p.add_argument("--eval-easy", action="store_true",
+                   help="eval on the non-randomized held-out set")
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--real-image-root", default=None,
                    help="crop tree for distillation mixing")

@@ -62,7 +62,8 @@ def _rank_auc(scores_pos: np.ndarray, scores_neg: np.ndarray) -> float:
 
 def evaluate_proxynet(extractor, assets, n_batches: int = 8, batch: int = 8,
                       wh: int = 256, seed: int = 0,
-                      occluders: bool = True) -> dict:
+                      occluders: bool = True,
+                      domain_rand: bool = True) -> dict:
     """Run the deployment extraction path on held-out synth batches.
 
     ``extractor``: a ``pipeline.extract.ProxyExtractor`` (its ``wh`` must
@@ -81,7 +82,8 @@ def evaluate_proxynet(extractor, assets, n_batches: int = 8, batch: int = 8,
     for bi in range(n_batches):
         rng = jax.random.PRNGKey(EVAL_SEED_BASE + seed * 100_000 + bi)
         data = synth_crop_batch(assets, rng, b=batch, wh=wh,
-                                occluders=occluders)
+                                occluders=occluders,
+                                domain_rand=domain_rand)
         images = np.asarray(data["image"] * 255.0, np.uint8)
         gt_j2d = np.asarray(data["joints2d"])
         gt_vis = np.asarray(data["kp_visible"]) > 0.5
@@ -132,6 +134,7 @@ def evaluate_proxynet(extractor, assets, n_batches: int = 8, batch: int = 8,
         "n_images": n_images,
         "extraction_failures": failures,
         "occluders": bool(occluders),
+        "domain_rand": bool(domain_rand),
         "kp_median_px_err": float(np.median(errs)),
         "kp_mean_px_err": float(np.mean(errs)),
         "kp_pck@0.05bbox": pck05 / max(n_vis, 1),

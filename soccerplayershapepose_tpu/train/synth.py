@@ -309,9 +309,11 @@ def _photometric(rng: jax.Array, image: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("b", "wh", "occluders"))
+@functools.partial(jax.jit,
+                   static_argnames=("b", "wh", "occluders", "domain_rand"))
 def synth_crop_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
-                     wh: int = 256, occluders: bool = True) -> dict:
+                     wh: int = 256, occluders: bool = True,
+                     domain_rand: bool = True) -> dict:
     """One batch of player-crop training tuples.
 
     Returns dict:
@@ -319,6 +321,10 @@ def synth_crop_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
       player's VISIBLE region; joints2d (B, 17, 2) pixels;
       kp_visible (B, 17) {0,1} in-frame AND unoccluded;
       part (B, wh/4, wh/4) int 0..24; uv (B, wh/4, wh/4, 2) [0,1].
+
+    ``domain_rand=False`` is the ablation baseline: plain green-noise
+    background, no motion blur / photometric jitter (kit coloring and
+    shading stay — they are the body appearance itself).
     """
     assert wh % STRIDE == 0
     keys = jax.random.split(rng, 12)
@@ -409,10 +415,19 @@ def synth_crop_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
                 & (joints2d[..., 1] >= 0) & (joints2d[..., 1] < wh))
     kp_visible = (on_body > 0.5) & in_frame
 
-    bg = _background(keys[10], b, wh, wh)
+    if domain_rand:
+        bg = _background(keys[10], b, wh, wh)
+    else:
+        k1, k2 = jax.random.split(keys[10])
+        bg = jnp.clip(
+            jnp.array([0.18, 0.42, 0.22])
+            + jax.random.uniform(k1, (b, 1, 1, 3), minval=-0.08, maxval=0.08)
+            + jax.random.uniform(k2, (b, wh, wh, 3), minval=-0.06,
+                                 maxval=0.06), 0.0, 1.0)
     image = body_rgb * any_body[..., None] + bg * (1 - any_body[..., None])
-    image = _photometric(jax.random.fold_in(keys[11], 1),
-                         _motion_blur(keys[11], image))
+    if domain_rand:
+        image = _photometric(jax.random.fold_in(keys[11], 1),
+                             _motion_blur(keys[11], image))
 
     return {"image": image, "silhouette": sil, "joints2d": joints2d,
             "kp_visible": kp_visible.astype(jnp.float32),
