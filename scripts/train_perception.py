@@ -159,6 +159,12 @@ def _train_segment(args, kind):
         return 0
     end = min(start + args.segment, args.steps)
     t0 = time.time()
+
+    def checkpoint(st):
+        _save_state(state_path, st)
+        save_perception_weights(
+            os.path.join(args.ckpt_dir, "weights_last.npz"), st)
+
     for i in range(start, end):
         batch = batch_fn(i)
         state, losses = step_fn(state, batch)
@@ -171,10 +177,15 @@ def _train_segment(args, kind):
                   + f" ({rate:.2f} steps/s)", flush=True)
             _log(args.ckpt_dir, {"kind": kind, "step": i + 1, **vals,
                                  "steps_per_s": rate})
+        # In-process periodic checkpoint: the axon backend does NOT persist
+        # compiles across processes, so crash recovery must not depend on
+        # short-lived segment re-exec — bank progress while compiled.
+        if args.save_every and (i + 1) % args.save_every == 0 \
+                and (i + 1) < end:
+            float(losses["total"])
+            checkpoint(state)
     float(losses["total"])          # sync before checkpointing
-    _save_state(state_path, state)
-    save_perception_weights(
-        os.path.join(args.ckpt_dir, "weights_last.npz"), state)
+    checkpoint(state)
     print(f"{kind}: segment done at step {int(state.step)}", flush=True)
     return 0 if int(state.step) >= args.steps else SEGMENT_RC
 
@@ -318,6 +329,9 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--save-every", type=int, default=200,
+                   help="in-process checkpoint interval (0 = segment end "
+                        "only)")
     p.add_argument("--eval-batches", type=int, default=4)
     p.add_argument("--no-iuv", action="store_true")
     p.add_argument("--no-occluders", action="store_true")

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("img_wh", "faces_per_chunk"))
 def rasterize_attributes(verts2d: jnp.ndarray,
                          verts_z: jnp.ndarray,
                          vert_attrs: jnp.ndarray,
@@ -32,6 +31,11 @@ def rasterize_attributes(verts2d: jnp.ndarray,
                          img_wh: int,
                          faces_per_chunk: int = 86):
     """Nearest-face barycentric attribute rasterization.
+
+    Off-CPU this dispatches to the banded Pallas z-buffer kernel
+    (``render/pallas_zbuffer.py``, ~2 orders of magnitude over the XLA
+    scan at synth-batch shapes); on CPU (and under SPT_FAST_ATTR=0) the
+    XLA scan below runs and remains the parity oracle in tests.
 
     Args:
       verts2d: (B, V, 2) pixel coordinates.
@@ -43,6 +47,23 @@ def rasterize_attributes(verts2d: jnp.ndarray,
     Returns:
       (attrs (B, img_wh, img_wh, A), mask (B, img_wh, img_wh) bool).
     """
+    from soccerplayershapepose_tpu.render.pallas_zbuffer import (
+        rasterize_attributes_fast, use_fast_attributes)
+    if use_fast_attributes():
+        return rasterize_attributes_fast(verts2d, verts_z, vert_attrs,
+                                         faces, img_wh)
+    return rasterize_attributes_xla(verts2d, verts_z, vert_attrs, faces,
+                                    img_wh, faces_per_chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("img_wh", "faces_per_chunk"))
+def rasterize_attributes_xla(verts2d: jnp.ndarray,
+                             verts_z: jnp.ndarray,
+                             vert_attrs: jnp.ndarray,
+                             faces: jnp.ndarray,
+                             img_wh: int,
+                             faces_per_chunk: int = 86):
+    """All-pairs XLA scan implementation (correctness oracle)."""
     b, _, _ = verts2d.shape
     a = vert_attrs.shape[-1]
     f = faces.shape[0]
