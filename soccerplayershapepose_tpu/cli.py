@@ -59,6 +59,18 @@ def _load_runtime(args):
     return assets, params, fn
 
 
+def _require_weights(kind: str) -> str:
+    """Resolve the committed weights artifact or fail with guidance."""
+    from soccerplayershapepose_tpu.train.perception import \
+        default_weights_path
+    path = default_weights_path(kind)
+    if path is None:
+        raise SystemExit(
+            f"no --weights given and no committed weights/{kind}*_f16.npz "
+            "artifact found; train one with scripts/train_perception.py")
+    return path
+
+
 def main(argv=None) -> int:
     from soccerplayershapepose_tpu import config as cfg
 
@@ -123,8 +135,9 @@ def main(argv=None) -> int:
     p.add_argument("--image-root", required=True)
     p.add_argument("--proxy-root", required=True)
     p.add_argument("--vis-root", default=None)
-    p.add_argument("--weights", required=True,
-                   help="ProxyNet weights .npz (see train-perception)")
+    p.add_argument("--weights", default=None,
+                   help="ProxyNet weights .npz (default: committed "
+                        "weights/proxynet*_f16.npz artifact)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--write-iuv", action="store_true")
     p.add_argument("--no-iuv", action="store_true")
@@ -134,8 +147,9 @@ def main(argv=None) -> int:
                             "(player_detection.py crop pipelines)")
     p.add_argument("--frame-root", required=True)
     p.add_argument("--out-root", required=True)
-    p.add_argument("--weights", required=True,
-                   help="detector weights .npz (see train-perception)")
+    p.add_argument("--weights", default=None,
+                   help="detector weights .npz (default: committed "
+                        "weights/detector*_f16.npz artifact)")
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=448)
     p.add_argument("--batch-size", type=int, default=4)
@@ -148,7 +162,7 @@ def main(argv=None) -> int:
                             "(player_detection.py crop_player)")
     p.add_argument("--image-root", required=True)
     p.add_argument("--out-root", required=True)
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", default=None)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=8)
@@ -167,7 +181,7 @@ def main(argv=None) -> int:
     p.add_argument("--vis-root", default=None)
     p.add_argument("--player-root", default=None,
                    help="also write <index>/player.png crops here")
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", default=None)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=448)
     p.add_argument("--batch-size", type=int, default=4)
@@ -201,7 +215,8 @@ def main(argv=None) -> int:
         from soccerplayershapepose_tpu.train.perception import (
             load_perception_weights)
         model = ProxyNet(with_iuv=not args.no_iuv)
-        variables = load_perception_weights(args.weights, model)
+        weights = args.weights or _require_weights("proxynet")
+        variables = load_perception_weights(weights, model)
         extractor = ProxyExtractor(model, variables)
         out = create_proxy_stage(extractor, args.image_root, args.proxy_root,
                                  vis_root=args.vis_root,
@@ -218,7 +233,8 @@ def main(argv=None) -> int:
             load_perception_weights)
         model = PlayerDetector()
         hw = (args.height, args.width)
-        variables = load_perception_weights(args.weights, model, hw=hw)
+        weights = args.weights or _require_weights("detector")
+        variables = load_perception_weights(weights, model, hw=hw)
         runner = PlayerDetectorRunner(model, variables, hw,
                                       score_thresh=args.score_thresh)
         out = detect_players_stage(runner, args.frame_root, args.out_root,
@@ -235,7 +251,8 @@ def main(argv=None) -> int:
             load_perception_weights)
         model = PlayerDetector()
         hw = (args.height, args.width)
-        variables = load_perception_weights(args.weights, model, hw=hw)
+        weights = args.weights or _require_weights("detector")
+        variables = load_perception_weights(weights, model, hw=hw)
         runner = PlayerDetectorRunner(model, variables, hw,
                                       score_thresh=args.score_thresh)
         if args.command == "crop-player":

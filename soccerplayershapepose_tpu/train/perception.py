@@ -35,6 +35,19 @@ from soccerplayershapepose_tpu.models.perception import (
     NUM_PARTS, STRIDE, ProxyNet)
 
 
+def default_weights_path(kind: str) -> Optional[str]:
+    """Committed-artifact lookup: ``weights/<kind>*_f16.npz`` at the repo
+    root — the role of the reference's downloaded checkpoints
+    (predict_3D.py:35-64). Highest resolution tag wins; None if absent."""
+    import glob
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    hits = sorted(glob.glob(os.path.join(root, "weights",
+                                         f"{kind}*_f16.npz")))
+    return hits[-1] if hits else None
+
+
 def gaussian_heatmap_targets(joints2d: jnp.ndarray, wh: int,
                              sigma: float = 1.5) -> jnp.ndarray:
     """Smooth (non-truncated) Gaussian training targets, (B, wh, wh, K).
