@@ -1,0 +1,129 @@
+"""Assemble QUALITY_r03.json: held-out quality of the COMMITTED weight
+artifacts.
+
+Runs each evaluation cell crash-isolated (the axon TPU worker can fault
+mid-run; a cell is retried after the device answers again) and writes one
+record the judge can diff against VERDICT expectations:
+
+* proxynet @256 and @512 — the committed f16 artifacts, evaluated on the
+  HARD held-out stream (domain randomization + occluders, the deployment
+  condition) and on the EASY stream (no randomization) as the
+  robustness-ablation row,
+* detector — AP@0.5 / recall / precision at the reference operating point
+  (score >= 0.7, player_detection.py:28),
+* optional training-ablation arms (nets trained with/without domain
+  randomization, equal budgets) merged from weights/ablation_*/best.json
+  when present.
+
+Usage: python scripts/quality_record.py [--out QUALITY_r03.json]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TRAIN = os.path.join(ROOT, "scripts", "train_perception.py")
+
+
+def _wait_for_device(max_wait_s=2400):
+    deadline = time.time() + max_wait_s
+    probe = "import jax, jax.numpy as jnp; print(float(jnp.ones((8,)).sum()))"
+    while time.time() < deadline:
+        try:
+            out = subprocess.run([sys.executable, "-c", probe],
+                                 capture_output=True, timeout=90)
+            if out.returncode == 0 and b"8.0" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print("waiting for device...", flush=True)
+        time.sleep(30)
+    return False
+
+
+def run_cell(args, timeout_s=1500, attempts=3):
+    """One eval subprocess; parsed JSON from its last stdout line."""
+    cmd = [sys.executable, TRAIN] + args
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout_s, cwd=ROOT)
+            lines = [ln for ln in out.stdout.strip().splitlines()
+                     if ln.startswith("{")]
+            if out.returncode == 0 and lines:
+                return json.loads(lines[-1])
+            print(f"cell rc={out.returncode}: {out.stderr[-300:]}",
+                  flush=True)
+        except subprocess.TimeoutExpired:
+            print("cell timeout", flush=True)
+        if attempt + 1 < attempts:
+            _wait_for_device()
+    return None
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=os.path.join(ROOT, "QUALITY_r03.json"))
+    p.add_argument("--eval-batches", type=int, default=4)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--detector-weights",
+                   default="weights/detector_r03/weights_best.npz")
+    p.add_argument("--skip", default="",
+                   help="comma list of cell names to skip")
+    args = p.parse_args()
+    skip = set(args.skip.split(",")) if args.skip else set()
+
+    common = ["--eval-batches", str(args.eval_batches),
+              "--batch", str(args.batch)]
+    cells = {
+        "proxynet_256_hard": ["eval-proxynet", "--wh", "256", "--weights",
+                              "weights/proxynet_256_f16.npz"] + common,
+        "proxynet_256_easy": ["eval-proxynet", "--wh", "256", "--weights",
+                              "weights/proxynet_256_f16.npz",
+                              "--eval-easy"] + common,
+        "proxynet_512_hard": ["eval-proxynet", "--wh", "512", "--weights",
+                              "weights/proxynet_512_f16.npz"] + common,
+        "detector_hard": ["eval-detector", "--weights",
+                          args.detector_weights] + common,
+    }
+
+    record = {"round": 3, "eval_batches": args.eval_batches,
+              "batch": args.batch,
+              "note": ("held-out synthetic eval (seeds disjoint from "
+                       "training, train/quality.py); 'hard' = domain "
+                       "randomization + occluders (deployment condition), "
+                       "'easy' = clean renders")}
+    for name, cell in cells.items():
+        if name in skip:
+            continue
+        print(f"=== {name}", flush=True)
+        res = run_cell(cell)
+        record[name] = res
+        print(json.dumps({name: res}), flush=True)
+
+    # Training-ablation arms (equal-budget domain-rand on/off): merge the
+    # drive's hard-set best.json and add a clean-set cell per arm so the
+    # docs table shows the robustness/cleanness trade both ways.
+    for arm in ("ablation_rand_on", "ablation_rand_off"):
+        path = os.path.join(ROOT, "weights", arm, "best.json")
+        if not os.path.exists(path) or arm in skip:
+            continue
+        with open(path) as f:
+            record[f"{arm}_hard"] = json.load(f)
+        res = run_cell(["eval-proxynet", "--wh", "256", "--eval-easy",
+                        "--weights", f"weights/{arm}/weights_best.npz"]
+                       + common)
+        record[f"{arm}_easy"] = res
+        print(json.dumps({f"{arm}_easy": res}), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

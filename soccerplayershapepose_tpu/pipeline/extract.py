@@ -116,7 +116,11 @@ class ProxyExtractor:
         iuv = None if iuv is None else np.asarray(iuv, np.float32)
 
         results = []
-        stride = self.wh // kp_logits.shape[1]
+        # Stride from the batch actually given, not the configured wh: the
+        # net is fully convolutional, so callers may feed any crop size and
+        # keypoints must come back in THAT pixel space (the eval harness
+        # passes wh explicitly; the CLI feeds whatever the tree contains).
+        stride = images_u8.shape[1] // kp_logits.shape[1]
         for i in range(len(images_u8)):
             comp = largest_centred_component(sil[i])
             if comp is None:

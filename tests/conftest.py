@@ -17,14 +17,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
-# In this image the axon TPU plugin registers regardless of JAX_PLATFORMS
-# (the env var above is silently ignored; default_backend() stays 'tpu'),
-# so every jit would compile on the remote TPU — ~43 min for the suite.
-# Pin the default device to a virtual CPU so tests run locally; code that
-# needs the effective platform must consult jax.config.jax_default_device
-# (see utils/precision.py:default_platform), not jax.default_backend().
+# In this image the TPU plugin registers regardless of JAX_PLATFORMS (the
+# env var is read before the plugin overrides the jax_platforms config), so
+# every jit would compile on the remote TPU — ~43 min for the suite, and a
+# hung backend handshake whenever the device is down (jax.devices("cpu")
+# initializes ALL registered platforms).  Re-forcing the CONFIG value here —
+# conftest runs after plugin registration — makes backends() init only the
+# CPU client, so the suite neither touches nor depends on the TPU.
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 

@@ -272,6 +272,23 @@ def test_proxy_extractor_structure():
             assert sil.shape == (64, 64)
 
 
+def test_proxy_extractor_stride_follows_input_size():
+    # Keypoints must come back in the pixel space of the batch actually
+    # given, even when the extractor was configured for a different wh
+    # (regression: CLI fed 256^2 crops to a wh=512 extractor and got
+    # 2x-scaled coordinates).
+    import jax.numpy as jnp
+    model = ProxyNet(with_iuv=False, channels=16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    ex = ProxyExtractor(model, variables, wh=512)
+    images = np.full((1, 64, 64, 3), 255, np.uint8)   # solid: mask likely on
+    for kp, sil, _ in ex(images):
+        assert sil is None or sil.shape == (64, 64)
+        if kp is not None:
+            assert float(kp[:, :2].max()) < 64.0
+            assert float(kp[:, :2].min()) >= 0.0
+
+
 @pytest.mark.slow
 def test_proxynet_overfit_extracts_real_proxies(tmp_path):
     """End-to-end: overfit ProxyNet on one synth batch, write those images
