@@ -85,6 +85,10 @@ def main():
         "proxynet_256_easy": ["eval-proxynet", "--wh", "256", "--weights",
                               "weights/proxynet_256_f16.npz",
                               "--eval-easy"] + common,
+        "proxynet_256_hard_tta": ["eval-proxynet", "--wh", "256",
+                                  "--weights",
+                                  "weights/proxynet_256_f16.npz",
+                                  "--flip-tta"] + common,
         "proxynet_512_hard": ["eval-proxynet", "--wh", "512", "--weights",
                               "weights/proxynet_512_f16.npz"] + common,
         "detector_hard": ["eval-detector", "--weights",

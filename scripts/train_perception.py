@@ -202,7 +202,8 @@ def _eval_proxynet(args):
     model = ProxyNet(with_iuv=not args.no_iuv, channels=args.channels)
     weights = args.weights or os.path.join(args.ckpt_dir, "weights_last.npz")
     variables = load_perception_weights(weights, model, wh=args.wh)
-    ex = ProxyExtractor(model, variables, wh=args.wh)
+    ex = ProxyExtractor(model, variables, wh=args.wh,
+                        flip_tta=args.flip_tta)
     assets = load_assets()
     out = evaluate_proxynet(ex, assets, n_batches=args.eval_batches,
                             batch=args.batch, wh=args.wh,
@@ -340,6 +341,8 @@ def main():
                         "photometric jitter")
     p.add_argument("--eval-easy", action="store_true",
                    help="eval on the non-randomized held-out set")
+    p.add_argument("--flip-tta", action="store_true",
+                   help="horizontal-flip ensemble in the eval extractor")
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--real-image-root", default=None,
                    help="crop tree for distillation mixing")

@@ -141,6 +141,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--write-iuv", action="store_true")
     p.add_argument("--no-iuv", action="store_true")
+    p.add_argument("--flip-tta", action="store_true",
+                   help="horizontal-flip ensemble for keypoints/mask "
+                        "(one 2B-batch forward; measured gain in "
+                        "QUALITY_r03.json)")
 
     p = sub.add_parser("detect-players",
                        help="detect + crop players from raw frames "
@@ -217,7 +221,8 @@ def main(argv=None) -> int:
         model = ProxyNet(with_iuv=not args.no_iuv)
         weights = args.weights or _require_weights("proxynet")
         variables = load_perception_weights(weights, model)
-        extractor = ProxyExtractor(model, variables)
+        extractor = ProxyExtractor(model, variables,
+                                   flip_tta=args.flip_tta)
         out = create_proxy_stage(extractor, args.image_root, args.proxy_root,
                                  vis_root=args.vis_root,
                                  batch_size=args.batch_size,

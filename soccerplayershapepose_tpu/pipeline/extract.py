@@ -84,21 +84,49 @@ def largest_centred_component(mask: np.ndarray) -> Optional[np.ndarray]:
     return (labels == order[0] + 1).astype(np.float32)
 
 
+# COCO left/right channel swap for horizontal-flip TTA: nose fixed, the
+# eight (left, right) pairs exchanged (eyes, ears, shoulders, elbows,
+# wrists, hips, knees, ankles — the keypoint order of predict_joints2D.py).
+_COCO_FLIP_PERM = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15)
+
+
 class ProxyExtractor:
-    """Batched crop → (keypoints, silhouette[, IUV]) extractor."""
+    """Batched crop → (keypoints, silhouette[, IUV]) extractor.
+
+    ``flip_tta=True`` additionally runs the horizontally-flipped crops
+    (concatenated into the same XLA program, so it is one forward at 2B)
+    and averages the un-flipped-back keypoint/mask logits — the standard
+    pose-estimation flip ensemble. Exact on the heatmap grid: cell centres
+    mirror onto cell centres because W = w·stride. IUV stays single-pass
+    (DensePose part labels are chirality-sensitive)."""
 
     def __init__(self, model: ProxyNet, variables: dict,
-                 wh: int = cfg.PROXY_REP_INPUT_WH):
+                 wh: int = cfg.PROXY_REP_INPUT_WH, flip_tta: bool = False):
         self.model = model
         self.variables = variables
         self.wh = wh
+        self.flip_tta = flip_tta
 
         def forward(variables, images):
-            out = model.apply(variables, images, train=False)
-            sil = decode_silhouette(out.mask_logits)
-            iuv = (decode_iuv(out.part_logits, out.uv, out_wh=images.shape[1])
+            if flip_tta:
+                both = jnp.concatenate([images, images[:, :, ::-1, :]], 0)
+                out = model.apply(variables, both, train=False)
+                b = images.shape[0]
+                kp_f = out.kp_logits[b:, :, ::-1, :][..., _COCO_FLIP_PERM]
+                kp_logits = 0.5 * (out.kp_logits[:b] + kp_f)
+                mask_logits = 0.5 * (out.mask_logits[:b]
+                                     + out.mask_logits[b:, :, ::-1])
+                part_logits = (None if out.part_logits is None
+                               else out.part_logits[:b])
+                uv = None if out.uv is None else out.uv[:b]
+            else:
+                out = model.apply(variables, images, train=False)
+                kp_logits, mask_logits = out.kp_logits, out.mask_logits
+                part_logits, uv = out.part_logits, out.uv
+            sil = decode_silhouette(mask_logits)
+            iuv = (decode_iuv(part_logits, uv, out_wh=images.shape[1])
                    if model.with_iuv else None)
-            return out.kp_logits, sil, iuv
+            return kp_logits, sil, iuv
 
         self._forward = jax.jit(forward)
 

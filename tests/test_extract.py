@@ -289,6 +289,40 @@ def test_proxy_extractor_stride_follows_input_size():
             assert float(kp[:, :2].min()) >= 0.0
 
 
+def test_proxy_extractor_flip_tta_merge():
+    """flip_tta merges exactly 0.5·(plain + unflipped-swapped flipped):
+    pin against a manual two-pass model.apply, and check the ensemble is
+    flip-equivariant end-to-end (TTA(flip(img)) mirrors TTA(img))."""
+    import jax.numpy as jnp
+    from soccerplayershapepose_tpu.pipeline.extract import _COCO_FLIP_PERM
+
+    model = ProxyNet(with_iuv=False, channels=16)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+    ex = ProxyExtractor(model, variables, wh=64, flip_tta=True)
+    images_u8 = np.random.RandomState(3).randint(
+        0, 255, (2, 64, 64, 3), np.uint8)
+    images = jnp.asarray(images_u8, jnp.float32) / 255.0
+
+    kp_tta, sil_tta, _ = ex._forward(variables, images)
+    out_a = model.apply(variables, images, train=False)
+    out_b = model.apply(variables, images[:, :, ::-1, :], train=False)
+    kp_manual = 0.5 * (out_a.kp_logits
+                       + out_b.kp_logits[:, :, ::-1, :][..., _COCO_FLIP_PERM])
+    np.testing.assert_allclose(np.asarray(kp_tta), np.asarray(kp_manual),
+                               atol=1e-5)
+    # perm is an involution (applying twice = identity)
+    assert list(np.asarray(_COCO_FLIP_PERM)[list(_COCO_FLIP_PERM)]) \
+        == list(range(17))
+
+    # end-to-end equivariance: TTA of the mirrored batch mirrors the mask
+    kp_m, sil_m, _ = ex._forward(variables, images[:, :, ::-1, :])
+    np.testing.assert_allclose(np.asarray(sil_m),
+                               np.asarray(sil_tta)[:, :, ::-1], atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(kp_m), np.asarray(kp_tta)[:, :, ::-1, :]
+        [..., _COCO_FLIP_PERM], atol=1e-5)
+
+
 @pytest.mark.slow
 def test_proxynet_overfit_extracts_real_proxies(tmp_path):
     """End-to-end: overfit ProxyNet on one synth batch, write those images
