@@ -93,6 +93,8 @@ def main():
                               "weights/proxynet_512_f16.npz"] + common,
         "detector_hard": ["eval-detector", "--weights",
                           args.detector_weights] + common,
+        "detector_hard_tta": ["eval-detector", "--weights",
+                              args.detector_weights, "--flip-tta"] + common,
     }
 
     record = {"round": 3, "eval_batches": args.eval_batches,

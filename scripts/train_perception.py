@@ -230,7 +230,8 @@ def _eval_detector(args):
     assets = load_assets()
     out = evaluate_detector(model, variables, assets,
                             n_batches=args.eval_batches, batch=args.batch,
-                            hw=(args.h, args.w), n_players=args.players)
+                            hw=(args.h, args.w), n_players=args.players,
+                            flip_tta=args.flip_tta)
     out["weights"] = weights
     print(json.dumps(out), flush=True)
     if args.json:

@@ -159,6 +159,8 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--score-thresh", type=float,
                    default=cfg.DETECTION_SCORE_THRESH)
+    p.add_argument("--flip-tta", action="store_true",
+                   help="horizontal-flip ensemble for detections")
 
     p = sub.add_parser("crop-player",
                        help="per-view centre-player crops over a "
@@ -172,6 +174,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--score-thresh", type=float,
                    default=cfg.DETECTION_SCORE_THRESH)
+    p.add_argument("--flip-tta", action="store_true")
     p.add_argument("--keep-player-one", action="store_true")
     p.add_argument("--skip-if-present", default=None,
                    help="broadcast tree root (check_board semantics)")
@@ -191,6 +194,7 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--score-thresh", type=float,
                    default=cfg.DETECTION_SCORE_THRESH)
+    p.add_argument("--flip-tta", action="store_true")
 
     args = parser.parse_args(argv)
 
@@ -241,7 +245,8 @@ def main(argv=None) -> int:
         weights = args.weights or _require_weights("detector")
         variables = load_perception_weights(weights, model, hw=hw)
         runner = PlayerDetectorRunner(model, variables, hw,
-                                      score_thresh=args.score_thresh)
+                                      score_thresh=args.score_thresh,
+                                      flip_tta=args.flip_tta)
         out = detect_players_stage(runner, args.frame_root, args.out_root,
                                    batch_size=args.batch_size)
         print(json.dumps(out))
@@ -259,7 +264,8 @@ def main(argv=None) -> int:
         weights = args.weights or _require_weights("detector")
         variables = load_perception_weights(weights, model, hw=hw)
         runner = PlayerDetectorRunner(model, variables, hw,
-                                      score_thresh=args.score_thresh)
+                                      score_thresh=args.score_thresh,
+                                      flip_tta=args.flip_tta)
         if args.command == "crop-player":
             out = crop_player_stage(
                 runner, args.image_root, args.out_root,

@@ -57,6 +57,26 @@ class PlayerDetector(nn.Module):
                               offset.astype(jnp.float32))
 
 
+def apply_flip_tta(model: PlayerDetector, variables: dict,
+                   images: jnp.ndarray) -> DetectorOutput:
+    """Horizontal-flip ensemble forward: one 2B-batch apply, the flipped
+    half's maps unflipped along W and averaged with the plain half.
+
+    The mirror of center ``cx = (px + 0.5 + dx)·stride`` in a W-wide frame
+    lands at cell ``w-1-px`` with sub-cell offset ``-dx`` (dy and box size
+    are mirror-invariant), so merging = flip W + negate the dx channel.
+    """
+    both = jnp.concatenate([images, images[:, :, ::-1, :]], axis=0)
+    out = model.apply(variables, both, train=False)
+    b = images.shape[0]
+    center = 0.5 * (out.center_logits[:b]
+                    + out.center_logits[b:, :, ::-1])
+    size = 0.5 * (out.size[:b] + out.size[b:, :, ::-1])
+    off_sign = jnp.array([-1.0, 1.0], out.offset.dtype)
+    offset = 0.5 * (out.offset[:b] + out.offset[b:, :, ::-1] * off_sign)
+    return DetectorOutput(center, size, offset)
+
+
 def decode_detections(out: DetectorOutput, top_k: int = 48,
                       stride: int = STRIDE) -> Detections:
     """Peak-NMS + static top-K decode → pixel-space scored boxes.

@@ -257,14 +257,21 @@ class PlayerDetectorRunner:
 
     def __init__(self, model: PlayerDetector, variables: dict,
                  hw: Tuple[int, int],
-                 score_thresh: float = cfg.DETECTION_SCORE_THRESH):
+                 score_thresh: float = cfg.DETECTION_SCORE_THRESH,
+                 flip_tta: bool = False):
         self.model = model
         self.variables = variables
         self.hw = hw
         self.score_thresh = score_thresh
+        self.flip_tta = flip_tta
 
         def forward(variables, images):
-            out = model.apply(variables, images, train=False)
+            if flip_tta:
+                from soccerplayershapepose_tpu.models.detector import \
+                    apply_flip_tta
+                out = apply_flip_tta(model, variables, images)
+            else:
+                out = model.apply(variables, images, train=False)
             return decode_detections(out)
 
         self._forward = jax.jit(forward)

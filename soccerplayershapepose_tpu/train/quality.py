@@ -169,15 +169,19 @@ def evaluate_detector(model, variables, assets, n_batches: int = 8,
                       batch: int = 4, hw: tuple = (256, 448),
                       n_players: int = 8, seed: int = 0,
                       iou_thresh: float = 0.5,
-                      score_thresh: float = 0.7) -> dict:
+                      score_thresh: float = 0.7,
+                      flip_tta: bool = False) -> dict:
     """AP@IoU plus precision/recall at the reference operating point."""
     import jax.numpy as jnp
-    from soccerplayershapepose_tpu.models.detector import decode_detections
+    from soccerplayershapepose_tpu.models.detector import (
+        apply_flip_tta, decode_detections)
     from soccerplayershapepose_tpu.train.synth import synth_frame_batch
 
     @jax.jit
     def forward(images):
-        return decode_detections(model.apply(variables, images, train=False))
+        out = (apply_flip_tta(model, variables, images) if flip_tta
+               else model.apply(variables, images, train=False))
+        return decode_detections(out)
 
     records = []      # (score, is_tp)
     n_gt = 0

@@ -204,6 +204,37 @@ def test_center_targets_and_decode_roundtrip():
     assert float(dets.scores[0, 2]) < 0.1   # only two real peaks
 
 
+def test_detector_flip_tta_equivariance():
+    """The flip ensemble must be exactly flip-equivariant: TTA of the
+    mirrored frame mirrors the merged maps (dx negated), so decoded boxes
+    mirror in pixel space."""
+    from soccerplayershapepose_tpu.models.detector import (
+        PlayerDetector, apply_flip_tta)
+
+    model = PlayerDetector(channels=16)
+    imgs = jnp.asarray(np.random.RandomState(5).rand(2, 64, 96, 3),
+                       jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), imgs)
+
+    out_a = apply_flip_tta(model, variables, imgs)
+    out_b = apply_flip_tta(model, variables, imgs[:, :, ::-1, :])
+    np.testing.assert_allclose(np.asarray(out_b.center_logits),
+                               np.asarray(out_a.center_logits)[:, :, ::-1],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_b.size),
+                               np.asarray(out_a.size)[:, :, ::-1], atol=1e-5)
+    off_m = np.asarray(out_a.offset)[:, :, ::-1] * np.array([-1.0, 1.0])
+    np.testing.assert_allclose(np.asarray(out_b.offset), off_m, atol=1e-5)
+
+    # merge = mean of plain and unflipped-flipped single passes
+    plain = model.apply(variables, imgs, train=False)
+    flipped = model.apply(variables, imgs[:, :, ::-1, :], train=False)
+    want = 0.5 * (np.asarray(plain.center_logits)
+                  + np.asarray(flipped.center_logits)[:, :, ::-1])
+    np.testing.assert_allclose(np.asarray(out_a.center_logits), want,
+                               atol=1e-5)
+
+
 def test_detector_train_step_descends(assets):
     fb = synth_frame_batch(assets, jax.random.PRNGKey(3), b=1, n_players=3,
                            hw=(128, 128))
