@@ -89,16 +89,37 @@ def largest_centred_component(mask: np.ndarray) -> Optional[np.ndarray]:
 # wrists, hips, knees, ankles — the keypoint order of predict_joints2D.py).
 _COCO_FLIP_PERM = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15)
 
+# SMPL joint left/right swap (part id = dominant LBS joint,
+# train/synth.py:vertex_parts): pelvis/spines/neck/head fixed, the nine
+# (left, right) limb pairs exchanged.
+_SMPL_FLIP_PERM = (0, 2, 1, 3, 5, 4, 6, 8, 7, 9, 11, 10, 12, 14, 13, 15,
+                   17, 16, 19, 18, 21, 20, 23, 22)
+# Part-logit channels are [bg] + 24 parts; UV channels are (u_p, v_p) pairs.
+_PART_FLIP_PERM = (0,) + tuple(1 + j for j in _SMPL_FLIP_PERM)
+_UV_FLIP_PERM = tuple(c for j in _SMPL_FLIP_PERM for c in (2 * j, 2 * j + 1))
+
+
+def _flip_iuv_maps(part_logits, uv):
+    """Un-mirror stride-4 IUV head outputs of a flipped crop: flip W, swap
+    left/right part channels, and negate the U logit — the template
+    pseudo-UV (synth.py:vertex_uv) is the normalized template x/y, which a
+    body mirror maps to (1-u, v), i.e. sigmoid(-u_logit)."""
+    part_f = part_logits[:, :, ::-1, :][..., _PART_FLIP_PERM]
+    uv_f = uv[:, :, ::-1, :][..., _UV_FLIP_PERM]
+    sign = jnp.tile(jnp.asarray([-1.0, 1.0], uv.dtype), uv.shape[-1] // 2)
+    return part_f, uv_f * sign
+
 
 class ProxyExtractor:
     """Batched crop → (keypoints, silhouette[, IUV]) extractor.
 
     ``flip_tta=True`` additionally runs the horizontally-flipped crops
     (concatenated into the same XLA program, so it is one forward at 2B)
-    and averages the un-flipped-back keypoint/mask logits — the standard
-    pose-estimation flip ensemble. Exact on the heatmap grid: cell centres
-    mirror onto cell centres because W = w·stride. IUV stays single-pass
-    (DensePose part labels are chirality-sensitive)."""
+    and averages the un-flipped-back keypoint/mask/IUV logits — the
+    standard pose-estimation flip ensemble. Exact on the heatmap grid
+    (cell centres mirror onto cell centres because W = w·stride); part
+    chirality is handled by the SMPL left/right channel swap and the
+    template pseudo-UV mirror (see :func:`_flip_iuv_maps`)."""
 
     def __init__(self, model: ProxyNet, variables: dict,
                  wh: int = cfg.PROXY_REP_INPUT_WH, flip_tta: bool = False):
@@ -116,9 +137,13 @@ class ProxyExtractor:
                 kp_logits = 0.5 * (out.kp_logits[:b] + kp_f)
                 mask_logits = 0.5 * (out.mask_logits[:b]
                                      + out.mask_logits[b:, :, ::-1])
-                part_logits = (None if out.part_logits is None
-                               else out.part_logits[:b])
-                uv = None if out.uv is None else out.uv[:b]
+                if out.part_logits is None:
+                    part_logits = uv = None
+                else:
+                    part_f, uv_f = _flip_iuv_maps(out.part_logits[b:],
+                                                  out.uv[b:])
+                    part_logits = 0.5 * (out.part_logits[:b] + part_f)
+                    uv = 0.5 * (out.uv[:b] + uv_f)
             else:
                 out = model.apply(variables, images, train=False)
                 kp_logits, mask_logits = out.kp_logits, out.mask_logits

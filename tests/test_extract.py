@@ -323,6 +323,33 @@ def test_proxy_extractor_flip_tta_merge():
         [..., _COCO_FLIP_PERM], atol=1e-5)
 
 
+def test_proxy_extractor_flip_tta_iuv_equivariance():
+    """IUV TTA: decoded part labels of a mirrored crop are the mirrored
+    L/R-swapped labels, and U mirrors to 255-U on the foreground."""
+    import jax.numpy as jnp
+    from soccerplayershapepose_tpu.pipeline.extract import _SMPL_FLIP_PERM
+
+    model = ProxyNet(with_iuv=True, channels=16)
+    variables = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)))
+    ex = ProxyExtractor(model, variables, wh=64, flip_tta=True)
+    images = jnp.asarray(np.random.RandomState(7).rand(2, 64, 64, 3),
+                         jnp.float32)
+
+    _, _, iuv = ex._forward(variables, images)
+    _, _, iuv_m = ex._forward(variables, images[:, :, ::-1, :])
+    iuv, iuv_m = np.asarray(iuv), np.asarray(iuv_m)
+    part = iuv[..., 0].astype(np.int64)
+    part_m = iuv_m[:, :, ::-1, 0].astype(np.int64)
+    # label swap: part p (1..24) mirrors to 1 + perm[p-1]
+    swap = np.asarray((0,) + tuple(1 + j for j in _SMPL_FLIP_PERM))
+    assert (part_m == swap[part]).mean() > 0.999
+    fg = (part > 0) & (part_m == swap[part])
+    u, u_m = iuv[..., 1], iuv_m[:, :, ::-1, 1]
+    np.testing.assert_allclose(u_m[fg], 255.0 - u[fg], atol=0.05)
+    v, v_m = iuv[..., 2], iuv_m[:, :, ::-1, 2]
+    np.testing.assert_allclose(v_m[fg], v[fg], atol=0.05)
+
+
 @pytest.mark.slow
 def test_proxynet_overfit_extracts_real_proxies(tmp_path):
     """End-to-end: overfit ProxyNet on one synth batch, write those images
