@@ -358,8 +358,8 @@ def main():
     args = p.parse_args()
 
     if args.cpu:
-        import jax
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        from soccerplayershapepose_tpu.utils.precision import pin_cpu
+        pin_cpu()
 
     if args.mode in ("proxynet", "detector"):
         sys.exit(_train_segment(args, args.mode))

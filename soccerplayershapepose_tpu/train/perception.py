@@ -202,6 +202,26 @@ def make_detector_train_step(model: PlayerDetector,
     return train_step
 
 
+def shard_train_step(step_fn, mesh):
+    """Data-parallel jit of a perception train step over ``mesh``.
+
+    State replicated, every batch leaf sharded on its leading (batch) axis
+    over the ``data`` mesh axis; GSPMD inserts the gradient psums. Because
+    the loss reduces means over the sharded batch axis inside jit, BatchNorm
+    moments and gradients are GLOBAL-batch quantities — sharded and
+    unsharded runs compute the same update (modulo reduction order), unlike
+    per-replica BN in the torch DDP idiom. Batch size must divide the data
+    axis length.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from soccerplayershapepose_tpu.parallel.mesh import AXES
+    data = NamedSharding(mesh, P(AXES.data))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(step_fn, in_shardings=(rep, data),
+                   out_shardings=(rep, rep))
+
+
 def save_perception_weights(path: str, state: PerceptionTrainState,
                             dtype=None, compress: bool = False) -> None:
     """Save ProxyNet/PlayerDetector inference weights as a flat .npz.

@@ -18,6 +18,20 @@ hp_einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 hp_matmul = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
+def pin_cpu() -> None:
+    """Force this process onto the host CPU backend.
+
+    The TPU plugin in this image registers regardless of JAX_PLATFORMS and
+    overrides the platforms config at registration, so merely pinning
+    ``jax_default_device`` still initializes the remote TPU client — which
+    HANGS when the device is down. Re-forcing the ``jax_platforms`` CONFIG
+    (possible any time after registration, before first backend use) limits
+    ``backends()`` to the CPU client, so nothing touches the device.
+    """
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
 def default_platform() -> str:
     """Platform computations actually run on by default.
 

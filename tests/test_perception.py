@@ -172,6 +172,35 @@ def test_proxynet_train_step_descends(crop_batch):
         assert np.isfinite(float(v))
 
 
+def test_proxynet_sharded_step_matches_unsharded(crop_batch):
+    """Data-parallel perception training over a (data,) mesh reproduces the
+    single-device update: batch means inside jit make BN moments and
+    gradients global-batch quantities regardless of sharding."""
+    from soccerplayershapepose_tpu.parallel.mesh import make_mesh, shard_batch
+    from soccerplayershapepose_tpu.train.perception import shard_train_step
+
+    devices = jax.devices()
+    mesh = make_mesh(devices[:2] if len(devices) >= 2 else devices[:1])
+    model = ProxyNet(with_iuv=True, channels=16)
+    state0, tx = make_proxynet_state(model, jax.random.PRNGKey(2), wh=128)
+    step = make_proxynet_train_step(model, tx)
+
+    state_a, losses_a = jax.jit(step)(state0, crop_batch)
+    state_b, losses_b = shard_train_step(step, mesh)(
+        state0, shard_batch(crop_batch, mesh))
+    assert float(losses_b["total"]) == pytest.approx(
+        float(losses_a["total"]), rel=1e-4)
+    pa = jax.tree_util.tree_leaves(state_a.params)
+    pb = jax.tree_util.tree_leaves(state_b.params)
+    # Adam's first step moves ~±lr wherever |grad| >> eps fails, so
+    # reduction-order noise near grad=0 can flip an element's update sign;
+    # bound is 2·lr (1e-3), not float tolerance.
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-3)
+        frac = (np.abs(np.asarray(a) - np.asarray(b)) > 5e-5).mean()
+        assert frac < 1e-3   # disagreement must stay pointwise-rare
+
+
 def test_center_targets_and_decode_roundtrip():
     # Perfect detector outputs reconstructed from GT must decode back to
     # the GT boxes.
