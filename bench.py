@@ -289,6 +289,25 @@ def main():
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / baseline, 3),
     }
+    # BASELINE configs 1-2: single-crop latency and per-frame (32-crop)
+    # batched inference — same compiled program at smaller static batches.
+    if os.environ.get("BENCH_SKIP_SMALL") != "1":
+        for small, tag in ((1, "single_crop"), (32, "batch32")):
+            sil_s, j2d_s = silhouette[:small], joints2d[:small]
+            out = fn(params, assets, sil_s, j2d_s)
+            float(out.vertices.sum())                     # compile
+            n = 50 if small == 1 else 20
+            t0 = time.perf_counter()
+            acc = jnp.zeros(())
+            for _ in range(n):
+                out = fn(params, assets, sil_s, j2d_s)
+                acc = acc + out.vertices[0, 0, 0]
+            float(acc)
+            dt_s = time.perf_counter() - t0
+            if small == 1:
+                record["single_crop_latency_ms"] = round(dt_s / n * 1e3, 3)
+            else:
+                record["batch32_crops_per_s"] = round(small * n / dt_s, 1)
     # BASELINE config-4 number in the same record (VERDICT r1 #6). Runs in
     # a subprocess so a fitting-induced worker fault cannot lose the
     # headline number; skippable for quick local runs.
