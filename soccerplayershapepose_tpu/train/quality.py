@@ -229,6 +229,11 @@ def evaluate_detector(model, variables, assets, n_batches: int = 8,
     for r, p in zip(recall, np.maximum.accumulate(precision[::-1])[::-1]):
         ap += (r - prev_r) * p
         prev_r = r
+    # Best-F1 operating point along the PR curve: the score threshold a
+    # deployment should use if the net's confidence calibration differs
+    # from the reference RCNN's (player_detection.py:28 assumes 0.7).
+    f1 = 2 * precision * recall / np.maximum(precision + recall, 1e-9)
+    bi = int(np.argmax(f1)) if records else 0
     return {
         "eval_hw": list(hw),
         "n_gt_boxes": n_gt,
@@ -238,4 +243,8 @@ def evaluate_detector(model, variables, assets, n_batches: int = 8,
             tp_at_op / max(tp_at_op + fp_at_op, 1),
         "mean_matched_iou": float(np.mean(matched_ious))
         if matched_ious else float("nan"),
+        "best_f1": float(f1[bi]) if records else 0.0,
+        "best_f1_score_thresh": float(records[bi][0]) if records else 0.0,
+        "best_f1_precision": float(precision[bi]) if records else 0.0,
+        "best_f1_recall": float(recall[bi]) if records else 0.0,
     }

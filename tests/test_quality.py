@@ -109,3 +109,7 @@ def test_evaluate_detector_structural(assets):
     assert out["n_gt_boxes"] > 0
     assert 0.0 <= out["ap@0.5"] <= 1.0
     assert 0.0 <= out["recall@score0.7"] <= 1.0
+    assert 0.0 <= out["best_f1"] <= 1.0
+    if out["best_f1"] > 0:
+        p, r = out["best_f1_precision"], out["best_f1_recall"]
+        assert out["best_f1"] == pytest.approx(2 * p * r / (p + r), rel=1e-6)
