@@ -71,6 +71,25 @@ def _require_weights(kind: str) -> str:
     return path
 
 
+def _resolve_score_thresh(args, weights: str) -> float:
+    """--score-thresh, else the weights artifact's measured best-F1
+    operating point (sibling .json written by the eval harness), else the
+    reference's assumed 0.7 (player_detection.py:28)."""
+    if args.score_thresh is not None:
+        return args.score_thresh
+    meta = os.path.splitext(weights)[0] + ".json"
+    if os.path.exists(meta):
+        try:
+            with open(meta) as f:
+                t = json.load(f).get("best_f1_score_thresh")
+            if t and 0.0 < t < 1.0:
+                return float(t)
+        except Exception:
+            pass
+    from soccerplayershapepose_tpu import config as cfg
+    return cfg.DETECTION_SCORE_THRESH
+
+
 def main(argv=None) -> int:
     from soccerplayershapepose_tpu import config as cfg
 
@@ -157,8 +176,10 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=448)
     p.add_argument("--batch-size", type=int, default=4)
-    p.add_argument("--score-thresh", type=float,
-                   default=cfg.DETECTION_SCORE_THRESH)
+    p.add_argument("--score-thresh", type=float, default=None,
+                   help="detection score threshold (default: the weights "
+                        "artifact's measured best-F1 operating point, else "
+                        "the reference's 0.7)")
     p.add_argument("--flip-tta", action="store_true",
                    help="horizontal-flip ensemble for detections")
 
@@ -172,8 +193,10 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--score-thresh", type=float,
-                   default=cfg.DETECTION_SCORE_THRESH)
+    p.add_argument("--score-thresh", type=float, default=None,
+                   help="detection score threshold (default: the weights "
+                        "artifact's measured best-F1 operating point, else "
+                        "the reference's 0.7)")
     p.add_argument("--flip-tta", action="store_true")
     p.add_argument("--keep-player-one", action="store_true")
     p.add_argument("--skip-if-present", default=None,
@@ -192,8 +215,10 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=448)
     p.add_argument("--batch-size", type=int, default=4)
-    p.add_argument("--score-thresh", type=float,
-                   default=cfg.DETECTION_SCORE_THRESH)
+    p.add_argument("--score-thresh", type=float, default=None,
+                   help="detection score threshold (default: the weights "
+                        "artifact's measured best-F1 operating point, else "
+                        "the reference's 0.7)")
     p.add_argument("--flip-tta", action="store_true")
 
     args = parser.parse_args(argv)
@@ -244,9 +269,10 @@ def main(argv=None) -> int:
         hw = (args.height, args.width)
         weights = args.weights or _require_weights("detector")
         variables = load_perception_weights(weights, model, hw=hw)
-        runner = PlayerDetectorRunner(model, variables, hw,
-                                      score_thresh=args.score_thresh,
-                                      flip_tta=args.flip_tta)
+        runner = PlayerDetectorRunner(
+            model, variables, hw,
+            score_thresh=_resolve_score_thresh(args, weights),
+            flip_tta=args.flip_tta)
         out = detect_players_stage(runner, args.frame_root, args.out_root,
                                    batch_size=args.batch_size)
         print(json.dumps(out))
@@ -263,9 +289,10 @@ def main(argv=None) -> int:
         hw = (args.height, args.width)
         weights = args.weights or _require_weights("detector")
         variables = load_perception_weights(weights, model, hw=hw)
-        runner = PlayerDetectorRunner(model, variables, hw,
-                                      score_thresh=args.score_thresh,
-                                      flip_tta=args.flip_tta)
+        runner = PlayerDetectorRunner(
+            model, variables, hw,
+            score_thresh=_resolve_score_thresh(args, weights),
+            flip_tta=args.flip_tta)
         if args.command == "crop-player":
             out = crop_player_stage(
                 runner, args.image_root, args.out_root,

@@ -79,3 +79,21 @@ def test_cli_train_perception_and_create_proxy(tmp_path):
     # 2-step training: either a proxy was written or the player was
     # (correctly) deleted as a failed extraction — both exercise the stage.
     assert data["written"] + len(data["failed_players"]) == 1
+
+
+def test_resolve_score_thresh(tmp_path):
+    """Operating point resolves from the weights artifact's sibling json,
+    with --score-thresh override and the reference 0.7 fallback."""
+    import argparse
+
+    from soccerplayershapepose_tpu.cli import _resolve_score_thresh
+
+    w = tmp_path / "det.npz"
+    w.write_bytes(b"")
+    ns = argparse.Namespace(score_thresh=None)
+    assert _resolve_score_thresh(ns, str(w)) == 0.7      # no sibling json
+    (tmp_path / "det.json").write_text(
+        json.dumps({"best_f1_score_thresh": 0.42}))
+    assert _resolve_score_thresh(ns, str(w)) == 0.42
+    ns = argparse.Namespace(score_thresh=0.9)
+    assert _resolve_score_thresh(ns, str(w)) == 0.9      # explicit wins
