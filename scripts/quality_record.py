@@ -79,6 +79,10 @@ def main():
 
     common = ["--eval-batches", str(args.eval_batches),
               "--batch", str(args.batch)]
+    # The metrics are hardware-independent; SPT_CPU=1 pins every eval cell
+    # to the host CPU (fallback for long TPU outages — slower, same math).
+    if os.environ.get("SPT_CPU") == "1":
+        common.append("--cpu")
     cells = {
         "proxynet_256_hard": ["eval-proxynet", "--wh", "256", "--weights",
                               "weights/proxynet_256_f16.npz"] + common,
