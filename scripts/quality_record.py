@@ -30,6 +30,8 @@ TRAIN = os.path.join(ROOT, "scripts", "train_perception.py")
 
 
 def _wait_for_device(max_wait_s=2400):
+    if os.environ.get("SPT_CPU") == "1":   # cells run on host; nothing to wait for
+        return True
     deadline = time.time() + max_wait_s
     probe = "import jax, jax.numpy as jnp; print(float(jnp.ones((8,)).sum()))"
     while time.time() < deadline:
@@ -45,8 +47,10 @@ def _wait_for_device(max_wait_s=2400):
     return False
 
 
-def run_cell(args, timeout_s=1500, attempts=3):
+def run_cell(args, timeout_s=None, attempts=3):
     """One eval subprocess; parsed JSON from its last stdout line."""
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("SPT_CELL_TIMEOUT", "1500"))
     cmd = [sys.executable, TRAIN] + args
     for attempt in range(attempts):
         try:

@@ -344,7 +344,9 @@ def main():
                    help="eval on the non-randomized held-out set")
     p.add_argument("--flip-tta", action="store_true",
                    help="horizontal-flip ensemble in the eval extractor")
-    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint dir (required for training; eval modes "
+                        "may instead pass explicit --weights)")
     p.add_argument("--real-image-root", default=None,
                    help="crop tree for distillation mixing")
     p.add_argument("--real-proxy-root", default=None)
@@ -360,6 +362,12 @@ def main():
     if args.cpu:
         from soccerplayershapepose_tpu.utils.precision import pin_cpu
         pin_cpu()
+
+    if args.mode.startswith("eval-"):
+        if not (args.weights or args.ckpt_dir):
+            p.error("eval modes need --weights or --ckpt-dir")
+    elif not args.ckpt_dir:
+        p.error("--ckpt-dir is required for training")
 
     if args.mode in ("proxynet", "detector"):
         sys.exit(_train_segment(args, args.mode))
