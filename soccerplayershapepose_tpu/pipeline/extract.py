@@ -84,11 +84,6 @@ def largest_centred_component(mask: np.ndarray) -> Optional[np.ndarray]:
     return (labels == order[0] + 1).astype(np.float32)
 
 
-# COCO left/right channel swap for horizontal-flip TTA: nose fixed, the
-# eight (left, right) pairs exchanged (eyes, ears, shoulders, elbows,
-# wrists, hips, knees, ankles — the keypoint order of predict_joints2D.py).
-_COCO_FLIP_PERM = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15)
-
 # SMPL joint left/right swap (part id = dominant LBS joint,
 # train/synth.py:vertex_parts): pelvis/spines/neck/head fixed, the nine
 # (left, right) limb pairs exchanged.
@@ -115,11 +110,11 @@ class ProxyExtractor:
 
     ``flip_tta=True`` additionally runs the horizontally-flipped crops
     (concatenated into the same XLA program, so it is one forward at 2B)
-    and averages the un-flipped-back keypoint/mask/IUV logits — the
-    standard pose-estimation flip ensemble. Exact on the heatmap grid
-    (cell centres mirror onto cell centres because W = w·stride); part
-    chirality is handled by the SMPL left/right channel swap and the
-    template pseudo-UV mirror (see :func:`_flip_iuv_maps`)."""
+    and averages the un-flipped-back mask and IUV logits — exact on the
+    grid (cell centres mirror onto cell centres because W = w·stride);
+    part chirality is handled by the SMPL left/right channel swap and the
+    template pseudo-UV mirror (see :func:`_flip_iuv_maps`). Keypoints stay
+    single-pass — see the measured regression note in ``forward``."""
 
     def __init__(self, model: ProxyNet, variables: dict,
                  wh: int = cfg.PROXY_REP_INPUT_WH, flip_tta: bool = False):
@@ -133,8 +128,14 @@ class ProxyExtractor:
                 both = jnp.concatenate([images, images[:, :, ::-1, :]], 0)
                 out = model.apply(variables, both, train=False)
                 b = images.shape[0]
-                kp_f = out.kp_logits[b:, :, ::-1, :][..., _COCO_FLIP_PERM]
-                kp_logits = 0.5 * (out.kp_logits[:b] + kp_f)
+                # Keypoints deliberately stay single-pass: averaging the
+                # mirrored heatmap logits MEASURABLY hurts localization
+                # (paired held-out 256² hard set: PCK@0.1 0.706 → 0.664,
+                # mean err 20.6 → 28.7 px) — under left/right ambiguity
+                # the two passes peak at different joints and the average
+                # grows ghost modes; masks and IUV have no such label
+                # ambiguity and improve (IoU 0.828 → 0.849).
+                kp_logits = out.kp_logits[:b]
                 mask_logits = 0.5 * (out.mask_logits[:b]
                                      + out.mask_logits[b:, :, ::-1])
                 if out.part_logits is None:
