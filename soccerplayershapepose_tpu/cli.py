@@ -160,10 +160,10 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--write-iuv", action="store_true")
     p.add_argument("--no-iuv", action="store_true")
-    p.add_argument("--flip-tta", action="store_true",
-                   help="horizontal-flip ensemble for keypoints/mask "
-                        "(one 2B-batch forward; measured gain in "
-                        "QUALITY_r03.json)")
+    p.add_argument("--no-flip-tta", action="store_true",
+                   help="disable the horizontal-flip mask/IUV ensemble "
+                        "(default on: +2.1 IoU pts on paired held-out "
+                        "eval, docs/QUALITY.md; one 2B-batch forward)")
 
     p = sub.add_parser("detect-players",
                        help="detect + crop players from raw frames "
@@ -251,7 +251,7 @@ def main(argv=None) -> int:
         weights = args.weights or _require_weights("proxynet")
         variables = load_perception_weights(weights, model)
         extractor = ProxyExtractor(model, variables,
-                                   flip_tta=args.flip_tta)
+                                   flip_tta=not args.no_flip_tta)
         out = create_proxy_stage(extractor, args.image_root, args.proxy_root,
                                  vis_root=args.vis_root,
                                  batch_size=args.batch_size,
