@@ -99,6 +99,10 @@ def main():
                                   "--flip-tta"] + common,
         "proxynet_512_hard": ["eval-proxynet", "--wh", "512", "--weights",
                               "weights/proxynet_512_f16.npz"] + common,
+        "proxynet_512_hard_tta": ["eval-proxynet", "--wh", "512",
+                                  "--weights",
+                                  "weights/proxynet_512_f16.npz",
+                                  "--flip-tta"] + common,
         "detector_hard": ["eval-detector", "--weights",
                           args.detector_weights] + common,
         "detector_hard_tta": ["eval-detector", "--weights",
