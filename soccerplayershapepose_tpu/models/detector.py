@@ -78,11 +78,20 @@ def apply_flip_tta(model: PlayerDetector, variables: dict,
 
 
 def decode_detections(out: DetectorOutput, top_k: int = 48,
-                      stride: int = STRIDE) -> Detections:
+                      stride: int = STRIDE,
+                      box_nms_iou: Optional[float] = 0.7) -> Detections:
     """Peak-NMS + static top-K decode → pixel-space scored boxes.
 
     Static shapes end to end: the (B, K, 5) result is masked by score
     downstream instead of being dynamically sized.
+
+    ``box_nms_iou`` additionally runs greedy box-IoU NMS (ops/nms.py,
+    static shapes) over the decoded boxes, zeroing suppressed scores: the
+    3×3 heatmap peak NMS leaves near-duplicate boxes when one body fires
+    two peaks ≥2 cells apart — the role RCNN box NMS plays for the
+    reference (player_detection.py:16-37). 0.7 suppresses only same-body
+    duplicates; genuinely crowded distinct players overlap less. None
+    disables.
     """
     b, h, w, _ = out.center_logits.shape
     heat = jax.nn.sigmoid(out.center_logits[..., 0])        # (B, h, w)
@@ -105,6 +114,15 @@ def decode_detections(out: DetectorOutput, top_k: int = 48,
     cy = (py + 0.5 + off[..., 1]) * stride
     boxes = jnp.stack([cx - wh[..., 0] / 2, cy - wh[..., 1] / 2,
                        cx + wh[..., 0] / 2, cy + wh[..., 1] / 2], axis=-1)
+    if box_nms_iou is not None:
+        from soccerplayershapepose_tpu.ops.nms import nms
+
+        def keep_mask(bx, sc):
+            idx, valid = nms(bx, sc, box_nms_iou)
+            return jnp.zeros_like(sc, bool).at[idx].max(valid)
+
+        kept = jax.vmap(keep_mask)(boxes, scores)
+        scores = jnp.where(kept, scores, 0.0)
     return Detections(boxes=boxes, scores=scores)
 
 

@@ -233,6 +233,25 @@ def test_center_targets_and_decode_roundtrip():
     assert float(dets.scores[0, 2]) < 0.1   # only two real peaks
 
 
+def test_decode_detections_box_nms():
+    """Two peaks on one body (heavily overlapping boxes) collapse to one
+    detection under box NMS; distinct boxes survive."""
+    h, w = 32, 32
+    heat = jnp.full((1, h, w, 1), -50.0)
+    heat = heat.at[0, 10, 10, 0].set(50.0)     # body A peak 1
+    heat = heat.at[0, 10, 11, 0].set(40.0)     # body A duplicate (IoU .78)
+    heat = heat.at[0, 24, 24, 0].set(45.0)     # body B
+    size = jnp.full((1, h, w, 2), 8.0)          # 32px square boxes
+    offset = jnp.zeros((1, h, w, 2))
+    out = DetectorOutput(heat, size, offset)
+
+    dets = decode_detections(out, top_k=8, box_nms_iou=0.7)
+    alive = np.asarray(dets.scores[0]) > 0.5
+    assert alive.sum() == 2                     # duplicate suppressed
+    dets_off = decode_detections(out, top_k=8, box_nms_iou=None)
+    assert (np.asarray(dets_off.scores[0]) > 0.5).sum() == 3
+
+
 def test_detector_flip_tta_equivariance():
     """The flip ensemble must be exactly flip-equivariant: TTA of the
     mirrored frame mirrors the merged maps (dx negated), so decoded boxes
