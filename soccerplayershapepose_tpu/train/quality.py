@@ -25,7 +25,6 @@ Metrics:
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np
