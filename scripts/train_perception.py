@@ -203,7 +203,9 @@ def _eval_proxynet(args):
     weights = args.weights or os.path.join(args.ckpt_dir, "weights_last.npz")
     variables = load_perception_weights(weights, model, wh=args.wh)
     ex = ProxyExtractor(model, variables, wh=args.wh,
-                        flip_tta=args.flip_tta)
+                        flip_tta=args.flip_tta,
+                        kp_tta_tau=args.kp_tta_tau,
+                        kp_disagree_penalty=args.kp_disagree_penalty)
     assets = load_assets()
     out = evaluate_proxynet(ex, assets, n_batches=args.eval_batches,
                             batch=args.batch, wh=args.wh,
@@ -344,6 +346,10 @@ def main():
                    help="eval on the non-randomized held-out set")
     p.add_argument("--flip-tta", action="store_true",
                    help="horizontal-flip ensemble in the eval extractor")
+    p.add_argument("--kp-tta-tau", type=float, default=0.08,
+                   help="kp TTA agreement radius (fraction of crop size)")
+    p.add_argument("--kp-disagree-penalty", type=float, default=1.0,
+                   help="kp TTA score multiplier on pass disagreement")
     p.add_argument("--ckpt-dir", default=None,
                    help="checkpoint dir (required for training; eval modes "
                         "may instead pass explicit --weights)")

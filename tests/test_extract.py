@@ -291,10 +291,11 @@ def test_proxy_extractor_stride_follows_input_size():
 
 def test_proxy_extractor_flip_tta_merge():
     """flip_tta merges the MASK as exactly 0.5·(plain + unflipped flipped)
-    while keypoint logits stay the plain single pass (measured regression
-    note in ProxyExtractor.forward); the merged mask is flip-equivariant
-    end-to-end."""
+    while keypoint logits come back as SEPARATE primary/flipped-back maps
+    (coordinate-level merge happens on host); the merged mask is
+    flip-equivariant end-to-end."""
     import jax.numpy as jnp
+    from soccerplayershapepose_tpu.pipeline.extract import _KP_FLIP_PERM
 
     model = ProxyNet(with_iuv=False, channels=16)
     variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
@@ -303,18 +304,47 @@ def test_proxy_extractor_flip_tta_merge():
         0, 255, (2, 64, 64, 3), np.uint8)
     images = jnp.asarray(images_u8, jnp.float32) / 255.0
 
-    kp_tta, sil_tta, _ = ex._forward(variables, images)
+    kp_tta, kp_flip, sil_tta, _ = ex._forward(variables, images)
     out_a = model.apply(variables, images, train=False)
     out_b = model.apply(variables, images[:, :, ::-1, :], train=False)
     np.testing.assert_allclose(np.asarray(kp_tta),
                                np.asarray(out_a.kp_logits), atol=1e-5)
+    kp_flip_manual = np.asarray(out_b.kp_logits)[:, :, ::-1, :][
+        ..., list(_KP_FLIP_PERM)]
+    np.testing.assert_allclose(np.asarray(kp_flip), kp_flip_manual,
+                               atol=1e-5)
     sil_manual = decode_sil_like(out_a.mask_logits, out_b.mask_logits)
     np.testing.assert_allclose(np.asarray(sil_tta), sil_manual, atol=1e-5)
 
     # end-to-end equivariance: TTA of the mirrored batch mirrors the mask
-    _, sil_m, _ = ex._forward(variables, images[:, :, ::-1, :])
+    _, _, sil_m, _ = ex._forward(variables, images[:, :, ::-1, :])
     np.testing.assert_allclose(np.asarray(sil_m),
                                np.asarray(sil_tta)[:, :, ::-1], atol=1e-5)
+
+
+def test_kp_coordinate_merge():
+    """Agreement-gated kp merge: agreeing joints are score-weighted
+    averaged with averaged scores; disagreeing joints keep the primary
+    pass coordinates with the penalty applied to the score."""
+    model = ProxyNet(with_iuv=False, channels=16)
+    import jax.numpy as jnp
+    variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3)))
+    ex = ProxyExtractor(model, variables, wh=256, flip_tta=True,
+                        kp_tta_tau=0.04, kp_disagree_penalty=0.5)
+    kp = np.zeros((17, 3), np.float32)
+    kpf = np.zeros((17, 3), np.float32)
+    # joint 0: agree (distance 4 < 10.24), scores 0.6 / 0.2
+    kp[0] = [100.0, 100.0, 0.6]
+    kpf[0] = [104.0, 100.0, 0.2]
+    # joint 1: disagree (distance 50)
+    kp[1] = [50.0, 50.0, 0.8]
+    kpf[1] = [100.0, 50.0, 0.9]
+    merged = ex._merge_kp(kp, kpf, 256)
+    # weighted mean x = (0.6*100 + 0.2*104) / 0.8 = 101
+    np.testing.assert_allclose(merged[0], [101.0, 100.0, 0.4],
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(merged[1], [50.0, 50.0, 0.4],
+                               rtol=0, atol=1e-6)
 
 
 def decode_sil_like(mask_a, mask_b):
@@ -334,8 +364,8 @@ def test_proxy_extractor_flip_tta_iuv_equivariance():
     images = jnp.asarray(np.random.RandomState(7).rand(2, 64, 64, 3),
                          jnp.float32)
 
-    _, _, iuv = ex._forward(variables, images)
-    _, _, iuv_m = ex._forward(variables, images[:, :, ::-1, :])
+    _, _, _, iuv = ex._forward(variables, images)
+    _, _, _, iuv_m = ex._forward(variables, images[:, :, ::-1, :])
     iuv, iuv_m = np.asarray(iuv), np.asarray(iuv_m)
     part = iuv[..., 0].astype(np.int64)
     part_m = iuv_m[:, :, ::-1, 0].astype(np.int64)
