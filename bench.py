@@ -18,7 +18,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np  # noqa: E402
 
 
-def _wait_for_device(max_wait_s: float = 900.0) -> None:
+def _wait_for_device(max_wait_s: float = 900.0) -> bool:
     """The axon TPU worker occasionally crash-loops; a tiny op either
     completes (healthy), raises (restarting), or hangs (down). Probe in a
     subprocess with a hard timeout and retry until the deadline."""
@@ -28,16 +28,18 @@ def _wait_for_device(max_wait_s: float = 900.0) -> None:
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jnp.ones((8,)).sum()))")
     while True:
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            return False
         try:
             out = subprocess.run([sys.executable, "-c", probe],
-                                 capture_output=True, timeout=90)
+                                 capture_output=True,
+                                 timeout=min(90.0, max(remaining, 10.0)))
             if out.returncode == 0 and b"8.0" in out.stdout:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
-        if time.time() > deadline:
-            return   # proceed anyway; the real run will surface the error
-        time.sleep(30)
+        time.sleep(min(30.0, max(deadline - time.time(), 0.0) + 1.0))
 
 
 def bench_fit():
@@ -245,7 +247,16 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
-    _wait_for_device()
+    if not _wait_for_device():
+        # A DOWN (hanging) backend would hang the first in-process JAX op
+        # forever — fail fast with a diagnosable exit instead of wedging
+        # the caller. No JSON line: a missing number is honest, a fake
+        # zero is not.
+        import sys
+        print("# bench: TPU backend unreachable (probe hung past the "
+              "15-min budget); aborting without a measurement",
+              file=sys.stderr)
+        sys.exit(3)
     if os.environ.get("BENCH_MODE") == "fit":
         return bench_fit()
     if os.environ.get("BENCH_MODE") == "frame":

@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from soccerplayershapepose_tpu import config as cfg
 from soccerplayershapepose_tpu.fit.engine import (
@@ -27,7 +28,9 @@ from soccerplayershapepose_tpu.fit.engine import (
 from soccerplayershapepose_tpu.ops.camera import weak_perspective_to_translation
 from soccerplayershapepose_tpu.smpl.assets import SMPLAssets
 
-_TRAIN = jnp.asarray(cfg.FITTING_TRAINABLE_BODY_JOINTS)
+# Host constant (np, not jnp): a module-level device array would initialize
+# the backend at import time — hangs the process when the TPU worker is down.
+_TRAIN = np.asarray(cfg.FITTING_TRAINABLE_BODY_JOINTS)
 
 
 def splice_body_pose(pose_sub: jnp.ndarray, full_init: jnp.ndarray) -> jnp.ndarray:

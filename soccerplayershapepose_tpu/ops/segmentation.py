@@ -12,17 +12,20 @@ and ``utils/label_conversions.py``:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # DensePose part id (1..24) → LSP 6-part id (label_conversions.py:8-36); index
-# 0 stays background.
-_DP_TO_LSP = jnp.array(
+# 0 stays background. Host constant: a module-level DEVICE array would
+# initialize the backend at import time (and hang the process when the
+# remote TPU worker is down); jnp ops device-put it at trace time.
+_DP_TO_LSP = np.array(
     [0, 6, 6, 2, 1, 4, 5, 5, 4, 5, 4, 5, 4, 5, 4, 1, 2, 1, 2, 1, 2, 1, 2, 3, 3],
-    dtype=jnp.int32)
+    dtype=np.int32)
 
 
 def densepose_to_6part_lsp(densepose_seg: jnp.ndarray) -> jnp.ndarray:
     """Map 24-part DensePose labels to the 6-part LSP convention."""
-    return _DP_TO_LSP[densepose_seg.astype(jnp.int32)]
+    return jnp.asarray(_DP_TO_LSP)[densepose_seg.astype(jnp.int32)]
 
 
 def multiclass_to_binary(labels: jnp.ndarray) -> jnp.ndarray:

@@ -71,9 +71,13 @@ def test_synth_keypoints_on_body(crop_batch):
         assert (j2d[i, v, 1] < ys.max() + 8).all()
 
 
+@pytest.mark.slow
 def test_synth_occluder_geometry(assets):
     """With occluders forced present/in front, GT silhouette is the VISIBLE
-    region: a no-occluder render of the same player covers at least as much."""
+    region: a no-occluder render of the same player covers at least as much.
+
+    Slow-marked: two full synth renders compile ~150 s on the 1-core CPU
+    host (the single heaviest fast-tier test by 2x)."""
     rng = jax.random.PRNGKey(11)
     with_occ = synth_crop_batch(assets, rng, b=4, wh=128, occluders=True)
     no_occ = synth_crop_batch(assets, rng, b=4, wh=128, occluders=False)

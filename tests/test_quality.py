@@ -57,7 +57,10 @@ class CheatingExtractor:
         return [self.lut[img.sum()] for img in images]
 
 
+@pytest.mark.slow
 def test_evaluate_proxynet_perfect(assets):
+    # Slow-marked (~80 s: synth + eval path compiles); the degraded-extractor
+    # variant below keeps fast-tier coverage of evaluate_proxynet.
     wh, nb, b = 64, 2, 2
     ex = CheatingExtractor(assets, nb, b, wh, occluders=True)
     out = evaluate_proxynet(ex, assets, n_batches=nb, batch=b, wh=wh,
