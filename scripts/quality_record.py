@@ -109,17 +109,28 @@ def main():
                               args.detector_weights, "--flip-tta"] + common,
     }
 
-    record = {"round": 3, "eval_batches": args.eval_batches,
-              "batch": args.batch,
-              "note": ("held-out synthetic eval (seeds disjoint from "
-                       "training, train/quality.py); 'hard' = domain "
-                       "randomization + occluders (deployment condition), "
-                       "'easy' = clean renders")}
+    # Seed from an existing record so a --skip rerun (e.g. merging the
+    # late-finishing ablation arms) updates cells in place instead of
+    # dropping the skipped ones from the rewritten file.
+    record = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            record = json.load(f)
+    record.update({"round": 3, "eval_batches": args.eval_batches,
+                   "batch": args.batch,
+                   "note": ("held-out synthetic eval (seeds disjoint from "
+                            "training, train/quality.py); 'hard' = domain "
+                            "randomization + occluders (deployment "
+                            "condition), 'easy' = clean renders")})
     for name, cell in cells.items():
         if name in skip:
             continue
         print(f"=== {name}", flush=True)
         res = run_cell(cell)
+        if res is None and name in record:
+            print(f"{name}: cell failed; keeping the existing value",
+                  flush=True)
+            continue
         record[name] = res
         print(json.dumps({name: res}), flush=True)
 
@@ -135,6 +146,10 @@ def main():
         res = run_cell(["eval-proxynet", "--wh", "256", "--eval-easy",
                         "--weights", f"weights/{arm}/weights_best.npz"]
                        + common)
+        if res is None and f"{arm}_easy" in record:
+            print(f"{arm}_easy: cell failed; keeping the existing value",
+                  flush=True)
+            continue
         record[f"{arm}_easy"] = res
         print(json.dumps({f"{arm}_easy": res}), flush=True)
 

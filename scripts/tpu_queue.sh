@@ -1,0 +1,109 @@
+#!/bin/bash
+# Round-3 TPU work queue — everything the 2026-08-17 outage left unexecuted,
+# ordered by value so a late-returning chip still gets the important jobs:
+#
+#   1. finish detector training (1200 -> 4000 steps; AP@0.5 was still climbing)
+#   2. repack + re-eval the committed detector artifact at the new best
+#   3. rasterizer chunk-size sweep at the tuned tile shapes (bwd-kernel perf)
+#   4. held-out quality cells -> QUALITY_r03.json (64-image TPU cells)
+#   5. equal-budget domain-randomization ablation arms (2 x 1500 steps)
+#   6. MFU characterization (predict + fit)
+#   7. bench.py full record
+#
+# Run:  nohup bash scripts/tpu_queue.sh > /tmp/tpu_queue.log 2>&1 &
+# Each stage runs in its own process (the remote worker crash-loops after
+# Mosaic aborts / long executions; a crashed client cannot recover
+# in-process) and re-waits for the device before starting.
+
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+
+log() { echo "[queue $(date +%H:%M:%S)] $*"; }
+
+wait_dev() {
+    # Blocks until the device answers a tiny op (probe subprocesses inside).
+    python scripts/probe_tpu.py wait
+}
+
+stage() {  # stage <name> <timeout_s> <cmd...>
+    local name="$1" t="$2"; shift 2
+    log "=== $name"
+    if ! wait_dev; then log "$name: device never came up; skipping"; return 1; fi
+    timeout "$t" "$@"
+    local rc=$?
+    log "$name: rc=$rc"
+    return $rc
+}
+
+# --- 1. Detector: resume 1200 -> 4000 steps (restarts from state.npz) ------
+stage detector-finish 14400 \
+    python scripts/train_perception.py drive-detector --steps 4000 \
+        --ckpt-dir weights/detector_r03
+
+# --- 2. Repack the committed artifact + fresh eval json at the new best ----
+if [ -f weights/detector_r03/weights_best.npz ]; then
+    stage detector-pack 600 \
+        python scripts/pack_weights.py weights/detector_r03/weights_best.npz \
+            weights/detector_256x448_f16.npz
+    stage detector-artifact-eval 3600 \
+        python scripts/train_perception.py eval-detector \
+            --weights weights/detector_256x448_f16.npz \
+            --eval-batches 4 --batch 16 \
+            --json weights/detector_256x448_f16.json
+    # Provenance fields the packed-artifact json carries alongside metrics.
+    python - <<'EOF'
+import json
+p = "weights/detector_256x448_f16.json"
+with open(p) as f:
+    d = json.load(f)
+d["weights"] = "weights/detector_256x448_f16.npz"
+d["training_steps"] = 4000
+d["note"] = "f16-packed weights_best of the full 4000-step run"
+with open(p, "w") as f:
+    json.dump(d, f, indent=1)
+print("provenance updated")
+EOF
+fi
+
+# --- 3. Rasterizer chunk sweep (one config per process: a faulting Mosaic
+#        config must not take the rest of the grid down with it) ------------
+for cfg in "256 8 256 8" "256 8 256 16" "256 8 256 32" "256 8 256 64" \
+           "256 16 256 16" "256 8 128 16" \
+           "512 16 128 8" "512 16 128 16" "512 16 128 4" \
+           "512 8 128 8" "512 16 64 8"; do
+    # shellcheck disable=SC2086
+    stage "raster-sweep $cfg" 1200 python scripts/tune_raster.py $cfg \
+        2>&1 | tee -a /tmp/raster_sweep_r03.log
+done
+
+# --- 4. Quality cells (64-image TPU evals of the committed artifacts) ------
+stage quality-cells 10800 \
+    python scripts/quality_record.py \
+        --detector-weights weights/detector_256x448_f16.npz
+
+# --- 5. Equal-budget domain-randomization ablation arms --------------------
+stage ablation-rand-on 10800 \
+    python scripts/train_perception.py drive-proxynet --steps 1500 \
+        --ckpt-dir weights/ablation_rand_on
+stage ablation-rand-off 10800 \
+    python scripts/train_perception.py drive-proxynet --steps 1500 \
+        --no-domain-rand --ckpt-dir weights/ablation_rand_off
+
+# Merge the arm results (+ per-arm easy cells) into QUALITY_r03.json without
+# re-running the already-recorded cells.
+stage quality-ablation-merge 7200 \
+    python scripts/quality_record.py \
+        --detector-weights weights/detector_256x448_f16.npz \
+        --skip proxynet_256_hard,proxynet_256_easy,proxynet_256_hard_tta,proxynet_512_hard,proxynet_512_hard_tta,detector_hard,detector_hard_tta
+
+# --- 6. MFU characterization ------------------------------------------------
+stage mfu-predict 1800 python scripts/mfu.py predict \
+    2>&1 | tee /tmp/mfu_predict_r03.log
+stage mfu-fit 1800 python scripts/mfu.py fit \
+    2>&1 | tee /tmp/mfu_fit_r03.log
+
+# --- 7. Bench record ---------------------------------------------------------
+stage bench 3600 python bench.py 2>&1 | tee /tmp/bench_r03_manual.log
+
+log "queue complete"
