@@ -78,6 +78,10 @@ def main():
                    default="weights/detector_r03/weights_best.npz")
     p.add_argument("--skip", default="",
                    help="comma list of cell names to skip")
+    p.add_argument("--suffix", default="",
+                   help="provenance tag appended to every cell name it "
+                        "writes (e.g. _64img_cpu); --skip matches the "
+                        "UNsuffixed name")
     args = p.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
@@ -125,14 +129,15 @@ def main():
     for name, cell in cells.items():
         if name in skip:
             continue
-        print(f"=== {name}", flush=True)
+        out_name = name + args.suffix
+        print(f"=== {out_name}", flush=True)
         res = run_cell(cell)
-        if res is None and name in record:
-            print(f"{name}: cell failed; keeping the existing value",
+        if res is None and out_name in record:
+            print(f"{out_name}: cell failed; keeping the existing value",
                   flush=True)
             continue
-        record[name] = res
-        print(json.dumps({name: res}), flush=True)
+        record[out_name] = res
+        print(json.dumps({out_name: res}), flush=True)
 
     # Training-ablation arms (equal-budget domain-rand on/off): merge the
     # drive's hard-set best.json and add a clean-set cell per arm so the
@@ -142,16 +147,16 @@ def main():
         if not os.path.exists(path) or arm in skip:
             continue
         with open(path) as f:
-            record[f"{arm}_hard"] = json.load(f)
+            record[f"{arm}_hard{args.suffix}"] = json.load(f)
         res = run_cell(["eval-proxynet", "--wh", "256", "--eval-easy",
                         "--weights", f"weights/{arm}/weights_best.npz"]
                        + common)
-        if res is None and f"{arm}_easy" in record:
+        if res is None and f"{arm}_easy{args.suffix}" in record:
             print(f"{arm}_easy: cell failed; keeping the existing value",
                   flush=True)
             continue
-        record[f"{arm}_easy"] = res
-        print(json.dumps({f"{arm}_easy": res}), flush=True)
+        record[f"{arm}_easy{args.suffix}"] = res
+        print(json.dumps({f"{arm}_easy{args.suffix}": res}), flush=True)
 
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)

@@ -45,13 +45,15 @@ stage detector-finish 14400 \
 if [ -f weights/detector_r03/weights_best.npz ]; then
     stage detector-pack 600 \
         python scripts/pack_weights.py weights/detector_r03/weights_best.npz \
-            weights/detector_256x448_f16.npz
+            weights/detector_256x448_f16.npz &&
     stage detector-artifact-eval 3600 \
         python scripts/train_perception.py eval-detector \
             --weights weights/detector_256x448_f16.npz \
             --eval-batches 4 --batch 16 \
-            --json weights/detector_256x448_f16.json
-    # Provenance fields the packed-artifact json carries alongside metrics.
+            --json weights/detector_256x448_f16.json &&
+    # Provenance fields the packed-artifact json carries alongside metrics
+    # (only after BOTH the pack and the fresh eval actually succeeded —
+    # otherwise the json would claim a run that never happened).
     python - <<'EOF'
 import json
 p = "weights/detector_256x448_f16.json"
@@ -79,7 +81,7 @@ done
 
 # --- 4. Quality cells (64-image TPU evals of the committed artifacts) ------
 stage quality-cells 10800 \
-    python scripts/quality_record.py \
+    python scripts/quality_record.py --suffix _64img_tpu \
         --detector-weights weights/detector_256x448_f16.npz
 
 # --- 5. Equal-budget domain-randomization ablation arms --------------------
@@ -93,7 +95,7 @@ stage ablation-rand-off 10800 \
 # Merge the arm results (+ per-arm easy cells) into QUALITY_r03.json without
 # re-running the already-recorded cells.
 stage quality-ablation-merge 7200 \
-    python scripts/quality_record.py \
+    python scripts/quality_record.py --suffix _64img_tpu \
         --detector-weights weights/detector_256x448_f16.npz \
         --skip proxynet_256_hard,proxynet_256_easy,proxynet_256_hard_tta,proxynet_512_hard,proxynet_512_hard_tta,detector_hard,detector_hard_tta
 

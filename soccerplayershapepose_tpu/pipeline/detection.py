@@ -9,12 +9,16 @@ player boxes in ``boxes.xml`` and crop each to its own 512² image
 (:152-250). Keypoint extraction for proxies is KP-RCNN (predict_joints2D)
 picking the largest roughly-centred person box (predict_joints2D.py:5-30).
 
-Design here: detection itself is a host-side stage (torch CPU is available in
-this image; detector weights load from a local path — no network). Everything
-downstream (NMS, box filtering, crop batching) also exists as XLA ops
-(ops/nms.py) so a future JAX detector can run fully on device. When no
-detector weights are present, the pipeline interops with precomputed
-boxes/proxies (SURVEY.md §7 step 7 keeps the critical path honest).
+Design here: the PRODUCTION detector is the JAX/Flax CenterNet-style net
+(models/detector.py) running fully on device with trained weights committed
+under ``weights/detector_256x448_f16.npz`` — ``pipeline/extract.py``'s
+``PlayerDetectorRunner`` + the crop stage drivers are the path the CLI uses.
+All post-processing (NMS, box filtering, crop batching) is XLA (ops/nms.py).
+The ``TorchPersonDetector`` below is OPTIONAL interop only — it mirrors the
+reference's torchvision Faster-RCNN host path for users who bring their own
+torchvision weights; torchvision is absent in this image, so it exists for
+API-compatibility, not as the supported path. Pipelines can also interop with
+precomputed boxes/proxies (SURVEY.md §7 step 7).
 """
 
 from __future__ import annotations
