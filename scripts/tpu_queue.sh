@@ -108,4 +108,32 @@ stage mfu-fit 1800 python scripts/mfu.py fit \
 # --- 7. Bench record ---------------------------------------------------------
 stage bench 3600 python bench.py 2>&1 | tee /tmp/bench_r03_manual.log
 
+# --- 8. STRAPS-style regressor training (train/straps.py) -------------------
+# Replaces the reference's external straps_model_checkpoint.tar
+# (player_recon.py:133-140) with an in-repo trained artifact.
+stage regressor-train 21600 \
+    python scripts/train_perception.py drive-regressor --steps 4000 \
+        --batch 16 --wh 512 --lr 1e-4 --ckpt-dir weights/regressor_r03
+if [ -f weights/regressor_r03/weights_best.npz ]; then
+    stage regressor-pack 600 \
+        python scripts/pack_weights.py weights/regressor_r03/weights_best.npz \
+            weights/regressor_18ch_f16.npz &&
+    stage regressor-artifact-eval 3600 \
+        python scripts/train_perception.py eval-regressor \
+            --weights weights/regressor_18ch_f16.npz --wh 512 \
+            --eval-batches 4 --batch 16 \
+            --json weights/regressor_18ch_f16.json &&
+    stage regressor-artifact-eval-corrupt 3600 \
+        python scripts/train_perception.py eval-regressor \
+            --weights weights/regressor_18ch_f16.npz --wh 512 --eval-corrupt \
+            --eval-batches 4 --batch 16 \
+            --json weights/regressor_18ch_f16_corrupt.json &&
+    # GT-3D fitting benchmark: PVE/MPJPE of regressor init vs the 100-iter
+    # render-and-compare fit (a number the reference cannot measure).
+    stage fit3d-benchmark 3600 \
+        python scripts/train_perception.py eval-fit3d \
+            --weights weights/regressor_18ch_f16.npz --wh 512 \
+            --eval-batches 2 --batch 8 --json weights/fit3d_benchmark.json
+fi
+
 log "queue complete"

@@ -14,11 +14,17 @@ Usage:
       --wh 256 --ckpt-dir weights/proxynet_r03 [--finetune-from DIR]
   python scripts/train_perception.py drive-detector --steps 4000 --batch 8 \
       --ckpt-dir weights/detector_r03
+  python scripts/train_perception.py drive-regressor --steps 4000 --batch 16 \
+      --wh 512 --lr 1e-4 --ckpt-dir weights/regressor_r03
   python scripts/train_perception.py eval-proxynet --ckpt-dir ... --wh 512 \
       --json QUALITY_proxynet.json
   python scripts/train_perception.py eval-detector --ckpt-dir ... --json ...
+  python scripts/train_perception.py eval-regressor --weights ... [--eval-corrupt]
 
-Internal (one segment, called by drive-*): proxynet / detector.
+Internal (one segment, called by drive-*): proxynet / detector / regressor
+(the STRAPS-style synthetic-proxy regressor trainer, train/straps.py —
+replaces the reference's external straps_model_checkpoint.tar,
+player_recon.py:133-140).
 """
 
 import argparse
@@ -45,6 +51,8 @@ def _save_state(path, state):
     from soccerplayershapepose_tpu.train.checkpoint import _flatten
     tree = {"params": state.params, "batch_stats": state.batch_stats,
             "opt_state": state.opt_state, "step": state.step}
+    if hasattr(state, "log_vars"):   # regressor: learned loss log-variances
+        tree["log_vars"] = state.log_vars
     tmp = path + ".tmp.npz"
     np.savez(tmp, **_flatten(tree))
     os.replace(tmp, path)
@@ -59,8 +67,15 @@ def _load_state(path, template_state):
             "batch_stats": template_state.batch_stats,
             "opt_state": template_state.opt_state,
             "step": template_state.step}
+    has_log_vars = hasattr(template_state, "log_vars")
+    if has_log_vars:
+        tree["log_vars"] = template_state.log_vars
     flat = dict(np.load(path))
     t = _unflatten_like(tree, flat)
+    if has_log_vars:
+        from soccerplayershapepose_tpu.train.distill import TrainState
+        return TrainState(t["params"], t["batch_stats"], t["log_vars"],
+                          t["opt_state"], t["step"])
     return PerceptionTrainState(t["params"], t["batch_stats"],
                                 t["opt_state"], t["step"])
 
@@ -98,6 +113,18 @@ def _detector_setup(args):
     return model, tx, state
 
 
+def _regressor_setup(args):
+    import jax
+    from soccerplayershapepose_tpu.models.regressor import \
+        SingleInputRegressor
+    from soccerplayershapepose_tpu.train.distill import make_train_state
+    model = SingleInputRegressor(in_channels=18,
+                                 resnet_layers=args.resnet_layers)
+    tx = _make_tx(args)
+    state, _ = make_train_state(model, jax.random.PRNGKey(args.seed), tx=tx)
+    return model, tx, state
+
+
 def _train_segment(args, kind):
     """Run up to --segment steps; exit SEGMENT_RC if more steps remain."""
     import jax
@@ -132,6 +159,25 @@ def _train_segment(args, kind):
             batch_fn = lambda i: next(mixer)  # noqa: E731
         else:
             batch_fn = synth_fn
+    elif kind == "regressor":
+        # STRAPS-style synthetic-proxy training (train/straps.py): GT
+        # params supervise the distill multi-task loss.
+        from soccerplayershapepose_tpu.train.distill import make_train_step
+        from soccerplayershapepose_tpu.train.straps import \
+            synth_regressor_batch
+        model, tx, state = _regressor_setup(args)
+        base_step = make_train_step(model, tx)
+
+        def _regressor_step(s, batch):
+            s2, metrics, _ = base_step(s, assets, batch)
+            out = {"total": metrics.pop("loss"), **metrics}
+            return s2, out
+
+        step_fn = jax.jit(_regressor_step)
+        batch_fn = lambda i: synth_regressor_batch(  # noqa: E731
+            assets, jax.random.fold_in(base, i), b=args.batch, wh=args.wh,
+            corrupt=not args.no_corrupt,
+            occluders=not args.no_occluders)
     else:
         model, tx, state = _detector_setup(args)
         step_fn = jax.jit(make_detector_train_step(model, tx))
@@ -145,11 +191,17 @@ def _train_segment(args, kind):
     elif args.finetune_from:
         # Warm-start params/batch_stats from another run (e.g. 256² → 512²
         # resolution fine-tune; the nets are fully convolutional).
-        from soccerplayershapepose_tpu.train.perception import \
-            load_perception_weights
-        variables = load_perception_weights(
-            os.path.join(args.finetune_from, "weights_last.npz"), model,
-            wh=args.wh, hw=(args.h, args.w) if kind == "detector" else None)
+        src = os.path.join(args.finetune_from, "weights_last.npz")
+        if kind == "regressor":
+            from soccerplayershapepose_tpu.train.straps import \
+                load_regressor_weights
+            variables = load_regressor_weights(src, model, assets)
+        else:
+            from soccerplayershapepose_tpu.train.perception import \
+                load_perception_weights
+            variables = load_perception_weights(
+                src, model, wh=args.wh,
+                hw=(args.h, args.w) if kind == "detector" else None)
         state = state._replace(params=variables["params"],
                                batch_stats=variables["batch_stats"])
 
@@ -242,6 +294,80 @@ def _eval_detector(args):
     return 0
 
 
+def _eval_regressor(args):
+    from soccerplayershapepose_tpu.models.regressor import \
+        SingleInputRegressor
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.train.straps import (
+        evaluate_regressor, load_regressor_weights)
+
+    model = SingleInputRegressor(in_channels=18,
+                                 resnet_layers=args.resnet_layers)
+    weights = args.weights or os.path.join(args.ckpt_dir, "weights_last.npz")
+    assets = load_assets()
+    variables = load_regressor_weights(weights, model, assets)
+    if args.via_proxynet:
+        # Full-pipeline cell: RGB crop → trained ProxyNet extraction →
+        # proxy → regressor → 3D error (the create_proxy+predict chain).
+        from soccerplayershapepose_tpu.models.perception import ProxyNet
+        from soccerplayershapepose_tpu.pipeline.extract import ProxyExtractor
+        from soccerplayershapepose_tpu.train.perception import \
+            load_perception_weights
+        from soccerplayershapepose_tpu.train.straps import \
+            evaluate_regressor_e2e
+        pnet = ProxyNet(with_iuv=not args.no_iuv, channels=args.channels)
+        pvars = load_perception_weights(args.via_proxynet, pnet, wh=args.wh)
+        ex = ProxyExtractor(pnet, pvars, wh=args.wh,
+                            flip_tta=args.flip_tta)
+        out = evaluate_regressor_e2e(model, variables["params"],
+                                     variables["batch_stats"], ex, assets,
+                                     n_batches=args.eval_batches,
+                                     batch=args.batch, wh=args.wh)
+        out["proxynet_weights"] = args.via_proxynet
+    else:
+        out = evaluate_regressor(model, variables["params"],
+                                 variables["batch_stats"], assets,
+                                 n_batches=args.eval_batches,
+                                 batch=args.batch,
+                                 wh=args.wh, corrupt=args.eval_corrupt)
+    out["weights"] = weights
+    print(json.dumps(out), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+def _eval_fit3d(args):
+    from soccerplayershapepose_tpu.models.regressor import \
+        SingleInputRegressor
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.train.straps import (
+        evaluate_fit_3d, load_regressor_weights)
+
+    model = SingleInputRegressor(in_channels=18,
+                                 resnet_layers=args.resnet_layers)
+    weights = args.weights or os.path.join(args.ckpt_dir, "weights_last.npz")
+    assets = load_assets()
+    variables = load_regressor_weights(weights, model, assets)
+    fit_cfg = None
+    if args.fit_iters:
+        from soccerplayershapepose_tpu.fit.engine import FitConfig
+        fit_cfg = FitConfig(iters=args.fit_iters, proxy_wh=args.wh,
+                            render_wh=min(args.wh, 256))
+    out = evaluate_fit_3d(model, variables["params"],
+                          variables["batch_stats"], assets,
+                          n_batches=args.eval_batches, batch=args.batch,
+                          wh=args.wh, corrupt=not args.no_corrupt,
+                          fit_cfg=fit_cfg)
+    out["weights"] = weights
+    print(json.dumps(out), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
 def _wait_for_device(max_wait_s=2400):
     deadline = time.time() + max_wait_s
     probe = "import jax, jax.numpy as jnp; print(float(jnp.ones((8,)).sum()))"
@@ -291,11 +417,14 @@ def _drive(args, kind, argv):
                                      timeout=args.segment_timeout)
                 line = out.stdout.decode().strip().splitlines()[-1]
                 metrics = json.loads(line)
-                key = ("kp_pck@0.10bbox" if kind == "proxynet"
-                       else "ap@0.5")
-                extra = metrics.get("mask_mean_iou", 0.0) or 0.0 \
-                    if kind == "proxynet" else 0.0
-                score = (metrics.get(key) or 0.0) + extra
+                if kind == "proxynet":
+                    score = (metrics.get("kp_pck@0.10bbox") or 0.0) \
+                        + (metrics.get("mask_mean_iou") or 0.0)
+                elif kind == "regressor":
+                    # Lower PVE is better; negate so max-score still wins.
+                    score = -(metrics.get("pve_mm") or 1e9)
+                else:
+                    score = metrics.get("ap@0.5") or 0.0
                 _log(args.ckpt_dir, {"kind": f"eval-{kind}", **metrics})
                 print("eval:", json.dumps(metrics), flush=True)
                 if best is None or score > best["score"]:
@@ -319,8 +448,9 @@ def _drive(args, kind, argv):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("mode", choices=[
-        "proxynet", "detector", "drive-proxynet", "drive-detector",
-        "eval-proxynet", "eval-detector"])
+        "proxynet", "detector", "regressor",
+        "drive-proxynet", "drive-detector", "drive-regressor",
+        "eval-proxynet", "eval-detector", "eval-regressor", "eval-fit3d"])
     p.add_argument("--steps", type=int, default=6000)
     p.add_argument("--segment", type=int, default=400)
     p.add_argument("--segment-timeout", type=int, default=2400)
@@ -339,6 +469,20 @@ def main():
     p.add_argument("--eval-batches", type=int, default=4)
     p.add_argument("--no-iuv", action="store_true")
     p.add_argument("--no-occluders", action="store_true")
+    p.add_argument("--resnet-layers", type=int, default=18,
+                   help="regressor encoder depth (18 or 50)")
+    p.add_argument("--no-corrupt", action="store_true",
+                   help="regressor ablation: train on clean GT proxies "
+                        "(no STRAPS-style corruption)")
+    p.add_argument("--eval-corrupt", action="store_true",
+                   help="evaluate the regressor under the corruption noise "
+                        "model instead of clean proxies")
+    p.add_argument("--via-proxynet", default=None,
+                   help="ProxyNet weights .npz: full-pipeline regressor "
+                        "eval (RGB crop → extracted proxy → regressor)")
+    p.add_argument("--fit-iters", type=int, default=0,
+                   help="eval-fit3d: override the 100-iter reference "
+                        "budget (0 = default FitConfig)")
     p.add_argument("--no-domain-rand", action="store_true",
                    help="ablation baseline: plain background, no blur/"
                         "photometric jitter")
@@ -375,13 +519,17 @@ def main():
     elif not args.ckpt_dir:
         p.error("--ckpt-dir is required for training")
 
-    if args.mode in ("proxynet", "detector"):
+    if args.mode in ("proxynet", "detector", "regressor"):
         sys.exit(_train_segment(args, args.mode))
     if args.mode.startswith("drive-"):
         kind = args.mode.split("-", 1)[1]
         sys.exit(_drive(args, kind, sys.argv[1:]))
     if args.mode == "eval-proxynet":
         sys.exit(_eval_proxynet(args))
+    if args.mode == "eval-regressor":
+        sys.exit(_eval_regressor(args))
+    if args.mode == "eval-fit3d":
+        sys.exit(_eval_fit3d(args))
     sys.exit(_eval_detector(args))
 
 

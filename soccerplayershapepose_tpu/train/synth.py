@@ -310,10 +310,13 @@ def _photometric(rng: jax.Array, image: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("b", "wh", "occluders", "domain_rand"))
+                   static_argnames=("b", "wh", "occluders", "domain_rand",
+                                    "return_params", "with_image"))
 def synth_crop_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
                      wh: int = 256, occluders: bool = True,
-                     domain_rand: bool = True) -> dict:
+                     domain_rand: bool = True,
+                     return_params: bool = False,
+                     with_image: bool = True) -> dict:
     """One batch of player-crop training tuples.
 
     Returns dict:
@@ -325,6 +328,14 @@ def synth_crop_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
     ``domain_rand=False`` is the ablation baseline: plain green-noise
     background, no motion blur / photometric jitter (kit coloring and
     shading stay — they are the body appearance itself).
+
+    ``return_params=True`` adds the ground-truth SMPL sample the crop was
+    rendered from — body_pose (B,23,3,3), global_orient (B,1,3,3), betas
+    (B,10), cam_wp (B,3) — the supervision the STRAPS-style regressor
+    trainer (train/straps.py) needs. ``with_image=False`` skips the RGB
+    shading/background/augmentation work for consumers that only need
+    geometry labels (the rasterizer pass still runs — it produces the
+    occlusion-aware silhouette).
     """
     assert wh % STRIDE == 0
     keys = jax.random.split(rng, 12)
@@ -339,8 +350,11 @@ def synth_crop_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
         out.joints[:, jnp.asarray(cfg.SMPL_TO_KPRCNN_MAP)], None, transl,
         focal_length=cfg.FOCAL_LENGTH, img_wh=wh)
 
-    colors = _shaded_colors(keys[1], out.vertices, assets.faces,
-                            _kit_vertex_colors(assets, keys[2], b))
+    if with_image:
+        colors = _shaded_colors(keys[1], out.vertices, assets.faces,
+                                _kit_vertex_colors(assets, keys[2], b))
+    else:   # geometry-only: a zero color channel keeps the attr layout
+        colors = jnp.zeros(out.vertices.shape[:2] + (3,))
 
     # Occluding second player: own body/kit, offset to a crop edge, in front
     # of or behind the labeled player (z-buffer decides visibility).
@@ -363,9 +377,12 @@ def synth_crop_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
         present = jax.random.bernoulli(keys[7], 0.45, (b, 1)).astype(
             jnp.float32)
         o_v2d = o_v2d + (1.0 - present[..., None]) * 1e5   # absent → offscreen
-        o_colors = _shaded_colors(
-            keys[8], o_out.vertices, assets.faces,
-            _kit_vertex_colors(assets, keys[9], b))
+        if with_image:
+            o_colors = _shaded_colors(
+                keys[8], o_out.vertices, assets.faces,
+                _kit_vertex_colors(assets, keys[9], b))
+        else:
+            o_colors = jnp.zeros(o_out.vertices.shape[:2] + (3,))
 
         v = assets.v_template.shape[0]
         scene_v2d = jnp.concatenate([verts2d, o_v2d], axis=1)
@@ -415,23 +432,29 @@ def synth_crop_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
                 & (joints2d[..., 1] >= 0) & (joints2d[..., 1] < wh))
     kp_visible = (on_body > 0.5) & in_frame
 
-    if domain_rand:
-        bg = _background(keys[10], b, wh, wh)
-    else:
-        k1, k2 = jax.random.split(keys[10])
-        bg = jnp.clip(
-            jnp.array([0.18, 0.42, 0.22])
-            + jax.random.uniform(k1, (b, 1, 1, 3), minval=-0.08, maxval=0.08)
-            + jax.random.uniform(k2, (b, wh, wh, 3), minval=-0.06,
-                                 maxval=0.06), 0.0, 1.0)
-    image = body_rgb * any_body[..., None] + bg * (1 - any_body[..., None])
-    if domain_rand:
-        image = _photometric(jax.random.fold_in(keys[11], 1),
-                             _motion_blur(keys[11], image))
-
-    return {"image": image, "silhouette": sil, "joints2d": joints2d,
-            "kp_visible": kp_visible.astype(jnp.float32),
-            "part": part.astype(jnp.int32), "uv": uv}
+    batch = {"silhouette": sil, "joints2d": joints2d,
+             "kp_visible": kp_visible.astype(jnp.float32),
+             "part": part.astype(jnp.int32), "uv": uv}
+    if with_image:
+        if domain_rand:
+            bg = _background(keys[10], b, wh, wh)
+        else:
+            k1, k2 = jax.random.split(keys[10])
+            bg = jnp.clip(
+                jnp.array([0.18, 0.42, 0.22])
+                + jax.random.uniform(k1, (b, 1, 1, 3), minval=-0.08,
+                                     maxval=0.08)
+                + jax.random.uniform(k2, (b, wh, wh, 3), minval=-0.06,
+                                     maxval=0.06), 0.0, 1.0)
+        image = body_rgb * any_body[..., None] + bg * (1 - any_body[..., None])
+        if domain_rand:
+            image = _photometric(jax.random.fold_in(keys[11], 1),
+                                 _motion_blur(keys[11], image))
+        batch["image"] = image
+    if return_params:
+        batch.update(body_pose=body_rm, global_orient=orient_rm,
+                     betas=betas, cam_wp=cam_wp)
+    return batch
 
 # ---------------------------------------------------------------------------
 # Frame batches (detector training)
