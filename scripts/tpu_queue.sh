@@ -128,6 +128,14 @@ if [ -f weights/regressor_r03/weights_best.npz ]; then
             --weights weights/regressor_18ch_f16.npz --wh 512 --eval-corrupt \
             --eval-batches 4 --batch 16 \
             --json weights/regressor_18ch_f16_corrupt.json &&
+    # Full-pipeline cell: RGB crop -> trained ProxyNet extraction -> proxy
+    # -> regressor -> 3D error (the deployment-condition number).
+    stage regressor-e2e-eval 3600 \
+        python scripts/train_perception.py eval-regressor \
+            --weights weights/regressor_18ch_f16.npz \
+            --via-proxynet weights/proxynet_256_f16.npz --wh 256 --flip-tta \
+            --eval-batches 4 --batch 16 \
+            --json weights/regressor_18ch_e2e.json &&
     # GT-3D fitting benchmark: PVE/MPJPE of regressor init vs the 100-iter
     # render-and-compare fit (a number the reference cannot measure).
     stage fit3d-benchmark 3600 \

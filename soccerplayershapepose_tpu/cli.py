@@ -56,6 +56,18 @@ def _load_runtime(args):
         from soccerplayershapepose_tpu.io.torch_import import (
             load_straps_checkpoint)
         params = load_straps_checkpoint(args.checkpoint)
+    else:
+        # Committed in-repo artifact (train/straps.py trainer) — the role
+        # of the reference's external straps_model_checkpoint.tar
+        # (player_recon.py:133-140). Random init only if neither exists.
+        from soccerplayershapepose_tpu.train.perception import \
+            default_weights_path
+        path = default_weights_path("regressor")
+        if path:
+            from soccerplayershapepose_tpu.train.straps import \
+                load_regressor_weights
+            params = load_regressor_weights(path, regressor, assets)
+            print(f"regressor weights: {path}")
     return assets, params, fn
 
 
