@@ -144,4 +144,40 @@ if [ -f weights/regressor_r03/weights_best.npz ]; then
             --eval-batches 2 --batch 8 --json weights/fit3d_benchmark.json
 fi
 
+# --- 9. ProxyNet low-lr continuation (6000 -> 10000 steps) -----------------
+# The committed artifact's held-out kp median is 9.4 px (target: lower);
+# resume the r03 run with a smaller peak lr and repack ONLY if the drive's
+# held-out score (pck@0.1 + mask IoU, same formula as best.json) beats the
+# committed artifact — never regress a shipped artifact from a queue stage.
+stage proxynet-finetune 7200 \
+    python scripts/train_perception.py drive-proxynet --steps 10000 \
+        --lr 5e-4 --ckpt-dir weights/proxynet_r03
+if python - <<'EOF'
+import json, sys
+try:
+    best = json.load(open("weights/proxynet_r03/best.json"))
+    cur = json.load(open("weights/proxynet_256_f16.json"))
+except OSError:
+    sys.exit(1)
+cur_score = cur.get("score") or (cur["kp_pck@0.10bbox"] + cur["mask_mean_iou"])
+sys.exit(0 if best["score"] > cur_score + 1e-6 else 1)
+EOF
+then
+    log "fine-tune improved the held-out score; repacking"
+    stage proxynet-pack 600 \
+        python scripts/pack_weights.py weights/proxynet_r03/weights_best.npz \
+            weights/proxynet_256_f16.npz &&
+    stage proxynet-artifact-eval 3600 \
+        python scripts/train_perception.py eval-proxynet \
+            --weights weights/proxynet_256_f16.npz --wh 256 \
+            --eval-batches 4 --batch 16 \
+            --json weights/proxynet_256_f16.json &&
+    stage quality-refresh-proxynet 10800 \
+        python scripts/quality_record.py --suffix _64img_tpu \
+            --detector-weights weights/detector_256x448_f16.npz \
+            --skip detector_hard,detector_hard_tta,proxynet_512_hard,proxynet_512_hard_tta,ablation_rand_on,ablation_rand_off
+else
+    log "fine-tune did not beat the committed artifact; keeping it"
+fi
+
 log "queue complete"
