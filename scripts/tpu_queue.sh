@@ -36,9 +36,13 @@ stage() {  # stage <name> <timeout_s> <cmd...>
     return $rc
 }
 
-# --- 1. Detector: resume 1200 -> 4000 steps (restarts from state.npz) ------
+# --- 1. Detector: resume 1200 -> 4000 steps (restarts from state.npz).
+# Args pinned to the ORIGINAL run (det_watch.sh) so the per-segment eval set
+# stays identical — best.json scores are only comparable on the same set.
 stage detector-finish 14400 \
     python scripts/train_perception.py drive-detector --steps 4000 \
+        --batch 8 --h 256 --w 448 --players 8 --segment 400 \
+        --save-every 100 --eval-batches 4 \
         --ckpt-dir weights/detector_r03
 
 # --- 2. Repack the committed artifact + fresh eval json at the new best ----

@@ -427,7 +427,15 @@ def _drive(args, kind, argv):
                     score = metrics.get("ap@0.5") or 0.0
                 _log(args.ckpt_dir, {"kind": f"eval-{kind}", **metrics})
                 print("eval:", json.dumps(metrics), flush=True)
-                if best is None or score > best["score"]:
+                # A NaN score (e.g. every extraction failed on an
+                # early-training eval) must never become `best`: NaN
+                # poisons the `score > best` comparison forever after.
+                import math
+                if not math.isfinite(score):
+                    print("eval score non-finite; not tracked", flush=True)
+                elif (best is None
+                      or not math.isfinite(best.get("score", float("nan")))
+                      or score > best["score"]):
                     best = {"score": score, **metrics}
                     with open(best_path, "w") as f:
                         json.dump(best, f, indent=1)

@@ -297,10 +297,11 @@ def soft_silhouette_fast(verts2d, faces, img_wh, sigma=1e-5, band_h=8,
     """Pallas-accelerated soft silhouette (fast forward; safe backward).
 
     Forward: the banded face-skipping kernel (~8x over XLA on v5e at 512²).
-    Backward: XLA-recompute autodiff by default (see _USE_PALLAS_BWD); the
-    matching Pallas backward kernel (chunk-skip pruning, dL/ds = g·(1−S)·D/σ,
-    envelope theorem on the clamped point-segment projection) is available
-    and parity-tested in interpreter mode. ``backface_cull`` composes with
+    Backward: the matching Pallas backward kernel by default (chunk-skip
+    pruning, dL/ds = g·(1−S)·D/σ, envelope theorem on the clamped
+    point-segment projection), parity-tested in interpreter mode;
+    ``SPT_PALLAS_BWD=0`` falls back to XLA-recompute autodiff
+    (see _USE_PALLAS_BWD). ``backface_cull`` composes with
     both passes (culled faces do no work and get zero gradient).
     """
     return soft_silhouette_pallas(verts2d, faces, img_wh, sigma=sigma,
