@@ -112,7 +112,10 @@ def mfu_fit():
     margin = (20.0 * sigma_px) ** 0.5 + 2.0
     n_bands = -(-wh // band_h)
     lo, hi = _band_chunk_bounds(setup[2], setup[3], n_bands, band_h, margin)
-    visits = float(jnp.sum((hi - lo)) * chunk * band_h * wh)
+    # Empty bands use a lo>hi convention (the kernel's fori_loop runs zero
+    # times) — clamp before summing; and sum in python floats: the
+    # chunk*band_h*wh multiply overflows int32 (observed: negative visits).
+    visits = float(jnp.sum(jnp.maximum(hi - lo, 0))) * chunk * band_h * wh
 
     # ~70 VPU flops per (face, pixel) visit fwd + ~110 bwd (counted from the
     # kernel bodies); v5e VPU ~ 4 TFLOP/s-class for f32 elementwise.
