@@ -1,14 +1,19 @@
 #!/bin/bash
-# Round-3 TPU work queue — everything the 2026-08-17 outage left unexecuted,
-# ordered by value so a late-returning chip still gets the important jobs:
+# Round-3 TPU work queue — everything the 2026-08-17/18 outage left
+# unexecuted, ordered by VALUE PER CHIP-MINUTE so a late-returning chip
+# still produces the records that matter most:
 #
-#   1. finish detector training (1200 -> 4000 steps; AP@0.5 was still climbing)
-#   2. repack + re-eval the committed detector artifact at the new best
-#   3. rasterizer chunk-size sweep at the tuned tile shapes (bwd-kernel perf)
-#   4. held-out quality cells -> QUALITY_r03.json (64-image TPU cells)
-#   5. equal-budget domain-randomization ablation arms (2 x 1500 steps)
-#   6. MFU characterization (predict + fit)
-#   7. bench.py full record
+#   A. bench.py full record (~10 min — BENCH numbers incl. the committed
+#      fused-backward rasterizer, unmeasured on-chip so far)
+#   B. MFU characterization, predict + fit (~20 min — completes PERF.md)
+#   C. finish detector training 1200 -> 4000 steps (~1.5 h; AP@0.5 was
+#      still climbing) + repack/re-eval the committed artifact
+#   D. held-out quality cells -> QUALITY_r03.json (64-image TPU cells)
+#   E. STRAPS regressor training + eval chain (~2.5 h — replaces the
+#      reference's external straps checkpoint with an in-repo artifact)
+#   F. rasterizer chunk-size sweep (informs round-4 defaults)
+#   G. equal-budget domain-randomization ablation arms (2 x 1500 steps)
+#   H. ProxyNet low-lr continuation, improve-gated repack
 #
 # Run:  nohup bash scripts/tpu_queue.sh > /tmp/tpu_queue.log 2>&1 &
 # Each stage runs in its own process (the remote worker crash-loops after
@@ -36,7 +41,17 @@ stage() {  # stage <name> <timeout_s> <cmd...>
     return $rc
 }
 
-# --- 1. Detector: resume 1200 -> 4000 steps (restarts from state.npz).
+# --- A. Bench record (highest value density: fit numbers pick up the
+#        committed backward-kernel fusion, never yet measured on-chip) ------
+stage bench 3600 python bench.py 2>&1 | tee /tmp/bench_r03_manual.log
+
+# --- B. MFU characterization ------------------------------------------------
+stage mfu-predict 1800 python scripts/mfu.py predict \
+    2>&1 | tee /tmp/mfu_predict_r03.log
+stage mfu-fit 1800 python scripts/mfu.py fit \
+    2>&1 | tee /tmp/mfu_fit_r03.log
+
+# --- C. Detector: resume 1200 -> 4000 steps (restarts from state.npz).
 # Args pinned to the ORIGINAL run (det_watch.sh) so the per-segment eval set
 # stays identical — best.json scores are only comparable on the same set.
 stage detector-finish 14400 \
@@ -45,7 +60,7 @@ stage detector-finish 14400 \
         --save-every 100 --eval-batches 4 \
         --ckpt-dir weights/detector_r03
 
-# --- 2. Repack the committed artifact + fresh eval json at the new best ----
+# Repack the committed artifact + fresh eval json at the new best.
 if [ -f weights/detector_r03/weights_best.npz ]; then
     stage detector-pack 600 \
         python scripts/pack_weights.py weights/detector_r03/weights_best.npz \
@@ -72,47 +87,12 @@ print("provenance updated")
 EOF
 fi
 
-# --- 3. Rasterizer chunk sweep (one config per process: a faulting Mosaic
-#        config must not take the rest of the grid down with it) ------------
-for cfg in "256 8 256 8" "256 8 256 16" "256 8 256 32" "256 8 256 64" \
-           "256 16 256 16" "256 8 128 16" \
-           "512 16 128 8" "512 16 128 16" "512 16 128 4" \
-           "512 8 128 8" "512 16 64 8"; do
-    # shellcheck disable=SC2086
-    stage "raster-sweep $cfg" 1200 python scripts/tune_raster.py $cfg \
-        2>&1 | tee -a /tmp/raster_sweep_r03.log
-done
-
-# --- 4. Quality cells (64-image TPU evals of the committed artifacts) ------
+# --- D. Quality cells (64-image TPU evals of the committed artifacts) ------
 stage quality-cells 10800 \
     python scripts/quality_record.py --suffix _64img_tpu \
         --detector-weights weights/detector_256x448_f16.npz
 
-# --- 5. Equal-budget domain-randomization ablation arms --------------------
-stage ablation-rand-on 10800 \
-    python scripts/train_perception.py drive-proxynet --steps 1500 \
-        --ckpt-dir weights/ablation_rand_on
-stage ablation-rand-off 10800 \
-    python scripts/train_perception.py drive-proxynet --steps 1500 \
-        --no-domain-rand --ckpt-dir weights/ablation_rand_off
-
-# Merge the arm results (+ per-arm easy cells) into QUALITY_r03.json without
-# re-running the already-recorded cells.
-stage quality-ablation-merge 7200 \
-    python scripts/quality_record.py --suffix _64img_tpu \
-        --detector-weights weights/detector_256x448_f16.npz \
-        --skip proxynet_256_hard,proxynet_256_easy,proxynet_256_hard_tta,proxynet_512_hard,proxynet_512_hard_tta,detector_hard,detector_hard_tta
-
-# --- 6. MFU characterization ------------------------------------------------
-stage mfu-predict 1800 python scripts/mfu.py predict \
-    2>&1 | tee /tmp/mfu_predict_r03.log
-stage mfu-fit 1800 python scripts/mfu.py fit \
-    2>&1 | tee /tmp/mfu_fit_r03.log
-
-# --- 7. Bench record ---------------------------------------------------------
-stage bench 3600 python bench.py 2>&1 | tee /tmp/bench_r03_manual.log
-
-# --- 8. STRAPS-style regressor training (train/straps.py) -------------------
+# --- E. STRAPS-style regressor training (train/straps.py) -------------------
 # Replaces the reference's external straps_model_checkpoint.tar
 # (player_recon.py:133-140) with an in-repo trained artifact.
 stage regressor-train 21600 \
@@ -148,7 +128,33 @@ if [ -f weights/regressor_r03/weights_best.npz ]; then
             --eval-batches 2 --batch 8 --json weights/fit3d_benchmark.json
 fi
 
-# --- 9. ProxyNet low-lr continuation (6000 -> 10000 steps) -----------------
+# --- F. Rasterizer chunk sweep (one config per process: a faulting Mosaic
+#        config must not take the rest of the grid down with it) ------------
+for cfg in "256 8 256 8" "256 8 256 16" "256 8 256 32" "256 8 256 64" \
+           "256 16 256 16" "256 8 128 16" \
+           "512 16 128 8" "512 16 128 16" "512 16 128 4" \
+           "512 8 128 8" "512 16 64 8"; do
+    # shellcheck disable=SC2086
+    stage "raster-sweep $cfg" 1200 python scripts/tune_raster.py $cfg \
+        2>&1 | tee -a /tmp/raster_sweep_r03.log
+done
+
+# --- G. Equal-budget domain-randomization ablation arms --------------------
+stage ablation-rand-on 10800 \
+    python scripts/train_perception.py drive-proxynet --steps 1500 \
+        --ckpt-dir weights/ablation_rand_on
+stage ablation-rand-off 10800 \
+    python scripts/train_perception.py drive-proxynet --steps 1500 \
+        --no-domain-rand --ckpt-dir weights/ablation_rand_off
+
+# Merge the arm results (+ per-arm easy cells) into QUALITY_r03.json without
+# re-running the already-recorded cells.
+stage quality-ablation-merge 7200 \
+    python scripts/quality_record.py --suffix _64img_tpu \
+        --detector-weights weights/detector_256x448_f16.npz \
+        --skip proxynet_256_hard,proxynet_256_easy,proxynet_256_hard_tta,proxynet_512_hard,proxynet_512_hard_tta,detector_hard,detector_hard_tta
+
+# --- H. ProxyNet low-lr continuation (6000 -> 10000 steps) ------------------
 # The committed artifact's held-out kp median is 9.4 px (target: lower);
 # resume the r03 run with a smaller peak lr and repack ONLY if the drive's
 # held-out score (pck@0.1 + mask IoU, same formula as best.json) beats the
@@ -183,5 +189,8 @@ then
 else
     log "fine-tune did not beat the committed artifact; keeping it"
 fi
+
+# --- Final: re-bench + refresh the quality record if trainings landed ------
+stage bench-final 3600 python bench.py 2>&1 | tee -a /tmp/bench_r03_manual.log
 
 log "queue complete"
