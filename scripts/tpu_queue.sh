@@ -43,7 +43,22 @@ stage() {  # stage <name> <timeout_s> <cmd...>
 
 # --- A. Bench record (highest value density: fit numbers pick up the
 #        committed backward-kernel fusion, never yet measured on-chip) ------
+# The JSON line is also persisted into the repo: if the chip dies again
+# before the driver's round-end bench run, the measurement survives.
+save_bench() {  # save_bench <log> <out.json>
+    python - "$1" "$2" <<'EOF'
+import json, sys
+lines = [l for l in open(sys.argv[1]) if l.startswith("{")]
+if lines:
+    rec = json.loads(lines[-1])
+    rec["source"] = "tpu_queue.sh on-chip run"
+    with open(sys.argv[2], "w") as f:
+        json.dump(rec, f, indent=1)
+    print("saved", sys.argv[2])
+EOF
+}
 stage bench 3600 python bench.py 2>&1 | tee /tmp/bench_r03_manual.log
+save_bench /tmp/bench_r03_manual.log BENCH_r03_queue.json
 
 # --- B. MFU characterization ------------------------------------------------
 stage mfu-predict 1800 python scripts/mfu.py predict \
@@ -192,5 +207,22 @@ fi
 
 # --- Final: re-bench + refresh the quality record if trainings landed ------
 stage bench-final 3600 python bench.py 2>&1 | tee -a /tmp/bench_r03_manual.log
+save_bench /tmp/bench_r03_manual.log BENCH_r03_queue.json
+
+# Persist the MFU records next to PERF.md's analytical section too.
+python - <<'EOF'
+import json, os
+out = {}
+for tag, path in (("predict", "/tmp/mfu_predict_r03.log"),
+                  ("fit", "/tmp/mfu_fit_r03.log")):
+    if os.path.exists(path):
+        lines = [l for l in open(path) if l.startswith("{")]
+        if lines:
+            out[tag] = json.loads(lines[-1])
+if out:
+    with open("MFU_r03.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("saved MFU_r03.json")
+EOF
 
 log "queue complete"
