@@ -26,6 +26,27 @@ stage() {
     return $rc
 }
 
+# --- Track bench retry: the config-5 subprocess failed invisibly inside
+#     the r3b bench stage (its output is captured, not logged). Re-run it
+#     alone with the log visible and merge into the committed record. ------
+stage bench-track 2400 \
+    env BENCH_MODE=track python bench.py 2>&1 | tee /tmp/bench_track_r03.log
+python - <<'EOF'
+import json, os
+lines = [l for l in open("/tmp/bench_track_r03.log") if l.startswith("{")]
+if lines and os.path.exists("BENCH_r03_queue.json"):
+    track = json.loads(lines[-1])
+    with open("BENCH_r03_queue.json") as f:
+        rec = json.load(f)
+    rec["track_metric"] = track["metric"]
+    rec["track_value"] = track["value"]
+    rec["track_unit"] = track["unit"]
+    rec["track_player_frames_per_s"] = track.get("player_frames_per_s")
+    with open("BENCH_r03_queue.json", "w") as f:
+        json.dump(rec, f, indent=1)
+    print("merged track fields into BENCH_r03_queue.json")
+EOF
+
 mkdir -p weights/proxynet_warm
 cp weights/proxynet_256_f16.npz weights/proxynet_warm/weights_last.npz
 stage proxynet-continue 14400 \
