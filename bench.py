@@ -4,12 +4,22 @@ Runs the full batched predict path (proxy construction → ResNet18+IEF
 regressor → fused SMPL LBS → weak-perspective projection) at batch 128 on the
 available chip and prints ONE JSON line. Baseline target (BASELINE.json):
 ≥500 crops/sec/chip on TPU v5e.
+
+Budget discipline (round-4): the whole run honors a total wall-clock budget
+(`BENCH_TIME_BUDGET` seconds, default 1140 ≈ 19 min) so the record always
+lands inside the driver's timeout. The headline record (BASELINE configs
+1-2) is printed AND FLUSHED the moment it is measured; the secondary configs
+(4 fit, 5 track, 3 frame, then the 512² fit extra) each get a subprocess
+timeout derived from the remaining budget and are skipped — never hung — when
+the budget runs dry. The merged record is reprinted as the final line, so a
+parser taking either the first or the last JSON line gets a valid record.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -17,13 +27,24 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np  # noqa: E402
 
+_T0 = time.time()
+_BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", "1140"))
+
+
+def _remaining() -> float:
+    """Seconds left in the total budget."""
+    return _BUDGET - (time.time() - _T0)
+
 
 def _wait_for_device(max_wait_s: float = 900.0) -> bool:
     """The axon TPU worker occasionally crash-loops; a tiny op either
     completes (healthy), raises (restarting), or hangs (down). Probe in a
-    subprocess with a hard timeout and retry until the deadline."""
+    subprocess with a hard timeout and retry until the deadline. The wait is
+    additionally capped by the remaining total budget."""
     import subprocess
-    import sys
+    max_wait_s = min(max_wait_s,
+                     float(os.environ.get("BENCH_PROBE_BUDGET", "900")),
+                     max(_remaining(), 0.0))
     deadline = time.time() + max_wait_s
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jnp.ones((8,)).sum()))")
@@ -45,11 +66,10 @@ def _wait_for_device(max_wait_s: float = 900.0) -> bool:
 def bench_fit():
     """Secondary benchmark (BENCH_MODE=fit): 100-iter render-and-compare
     fitting for a 22-player scene within the backend's crash envelope
-    (render 128², 10-iter segments)."""
+    (render 128², 10-iter segments). BENCH_FIT_WH selects 256, 512, or
+    both (default 256 — the driver runs 512 as a separate budgeted call)."""
     import time as _time
-    import jax
     import jax.numpy as jnp
-    from soccerplayershapepose_tpu import config as cfg
     from soccerplayershapepose_tpu.fit import (
         FitConfig, FitInit, single_view_fit)
     from soccerplayershapepose_tpu.ops import batch_rodrigues
@@ -76,22 +96,26 @@ def bench_fit():
         float(res.joint_err.mean())
         return _time.perf_counter() - t0
 
-    dt = run(256)
-    record = {
-        "metric": "100-iter 256^2 silhouette fits/sec/chip (batch %d scene)" % b,
-        "value": round(b / dt, 2),
-        "unit": "players/s",
-        "vs_baseline": None,
-    }
+    which = os.environ.get("BENCH_FIT_WH", "256")
+    record = {}
+    if which in ("256", "both"):
+        dt = run(256)
+        record.update({
+            "metric": ("100-iter 256^2 silhouette fits/sec/chip "
+                       "(batch %d scene)" % b),
+            "value": round(b / dt, 2),
+            "unit": "players/s",
+            "vs_baseline": None,
+        })
     # Reference-resolution run (512^2, player_recon.py:1226-1233 compares
     # full-res): recorded alongside so the judge sees parity-resolution perf.
-    if os.environ.get("BENCH_SKIP_512") != "1":
+    if which in ("512", "both"):
         dt512 = run(512)
         record["fit512_metric"] = \
             "100-iter 512^2 silhouette fits/sec/chip (batch %d scene)" % b
         record["fit512_value"] = round(b / dt512, 2)
         record["fit512_unit"] = "players/s"
-    print(json.dumps(record))
+    print(json.dumps(record), flush=True)
 
 
 def bench_frame():
@@ -147,7 +171,7 @@ def bench_frame():
         "value": round(fps, 2),
         "unit": "frames/s",
         "crops_per_s": round(fps * max_players, 1),
-    }))
+    }), flush=True)
 
 
 def bench_track():
@@ -189,17 +213,24 @@ def bench_track():
         "value": round(b / dt, 3),
         "unit": "players/s",
         "player_frames_per_s": round(b * t / dt, 2),
-    }))
+    }), flush=True)
 
 
-def _mode_subprocess(mode: str, timeout_s: float = 1500.0,
-                     attempts: int = 2):
-    """Run a BENCH_MODE=<mode> benchmark crash-isolated; parsed JSON or
-    None."""
+def _mode_subprocess(mode: str, extra_env=None, cap_s: float = 600.0,
+                     reserve_s: float = 45.0):
+    """Run a BENCH_MODE=<mode> benchmark crash-isolated under the remaining
+    budget; returns parsed JSON or None. One retry only if the budget still
+    allows a full attempt after a short device re-probe."""
     import subprocess
-    import sys
-    env = dict(os.environ, BENCH_MODE=mode, _BENCH_TRY="9")
-    for attempt in range(attempts):
+    env = dict(os.environ, BENCH_MODE=mode, _BENCH_TRY="9",
+               BENCH_PROBE_BUDGET="60")
+    env.update(extra_env or {})
+    for attempt in range(2):
+        timeout_s = min(cap_s, _remaining() - reserve_s)
+        if timeout_s < 60:
+            print(f"# bench: skipping {mode} (budget exhausted, "
+                  f"{_remaining():.0f}s left)", file=sys.stderr, flush=True)
+            return None
         try:
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
@@ -210,52 +241,26 @@ def _mode_subprocess(mode: str, timeout_s: float = 1500.0,
                     return json.loads(line)
         except Exception:
             pass
-        if attempt + 1 < attempts:
-            _wait_for_device(1800)
-    return None
-
-
-def _fit_bench_subprocess(timeout_s: float = 1500.0, attempts: int = 2):
-    """Run the fit benchmark in a crash-isolated subprocess (long silhouette
-    fits are the programs that fault the remote worker) and return its
-    parsed JSON dict, or None on any failure. Retries once after waiting
-    for the device — a worker crash mid-fit otherwise loses the number."""
-    import subprocess
-    import sys
-    env = dict(os.environ, BENCH_MODE="fit", _BENCH_TRY="9")
-    for attempt in range(attempts):
-        try:
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 timeout=timeout_s)
-            for line in out.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    return json.loads(line)
-        except Exception:
-            pass
-        if attempt + 1 < attempts:
-            _wait_for_device(1800)
+        if attempt == 0:
+            if not _wait_for_device(min(120.0, _remaining() - reserve_s)):
+                return None
     return None
 
 
 def main():
-    import jax
     import jax.numpy as jnp
     from soccerplayershapepose_tpu.pipeline.predict import build_predictor
     from soccerplayershapepose_tpu.smpl import load_assets
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
-    if not _wait_for_device():
+    if not _wait_for_device(min(900.0, max(_remaining() - 240.0, 60.0))):
         # A DOWN (hanging) backend would hang the first in-process JAX op
         # forever — fail fast with a diagnosable exit instead of wedging
         # the caller. No JSON line: a missing number is honest, a fake
         # zero is not.
-        import sys
-        print("# bench: TPU backend unreachable (probe hung past the "
-              "15-min budget); aborting without a measurement",
-              file=sys.stderr)
+        print("# bench: TPU backend unreachable within the probe budget; "
+              "aborting without a measurement", file=sys.stderr)
         sys.exit(3)
     if os.environ.get("BENCH_MODE") == "fit":
         return bench_fit()
@@ -319,53 +324,64 @@ def main():
                 record["single_crop_latency_ms"] = round(dt_s / n * 1e3, 3)
             else:
                 record["batch32_crops_per_s"] = round(small * n / dt_s, 1)
-    # BASELINE config-4 number in the same record (VERDICT r1 #6). Runs in
-    # a subprocess so a fitting-induced worker fault cannot lose the
-    # headline number; skippable for quick local runs.
+    # HEADLINE LANDS NOW: even if a later sub-benchmark or the driver's
+    # timeout kills this process, the configs-1/2 record is already on
+    # stdout (VERDICT r3 #1 — the r3 record was lost to exactly this).
+    print(json.dumps(record), flush=True)
+
+    # Secondary configs, each crash-isolated and budget-bounded. Order by
+    # record value: config 4 (fit 256², the headline fit number), config 5
+    # (track — never landed in an official record before r4), config 3
+    # (frame), then the 512² fit extra if budget remains.
     if os.environ.get("BENCH_SKIP_FIT") != "1":
-        fit = _fit_bench_subprocess()
+        fit = _mode_subprocess("fit", {"BENCH_FIT_WH": "256"}, cap_s=600)
         if fit is not None:
             record["fit_metric"] = fit["metric"]
             record["fit_value"] = fit["value"]
             record["fit_unit"] = fit["unit"]
-            for k in ("fit512_metric", "fit512_value", "fit512_unit"):
-                if k in fit:
-                    record[k] = fit[k]
-    # BASELINE configs 3 & 5 (VERDICT r2 #5), crash-isolated like the fit.
-    if os.environ.get("BENCH_SKIP_FRAME") != "1":
-        frame = _mode_subprocess("frame")
-        if frame is not None:
-            record["frame_metric"] = frame["metric"]
-            record["frame_value"] = frame["value"]
-            record["frame_unit"] = frame["unit"]
-            record["frame_crops_per_s"] = frame.get("crops_per_s")
     if os.environ.get("BENCH_SKIP_TRACK") != "1":
-        track = _mode_subprocess("track")
+        track = _mode_subprocess("track", cap_s=480)
         if track is not None:
             record["track_metric"] = track["metric"]
             record["track_value"] = track["value"]
             record["track_unit"] = track["unit"]
             record["track_player_frames_per_s"] = \
                 track.get("player_frames_per_s")
-    print(json.dumps(record))
+    if os.environ.get("BENCH_SKIP_FRAME") != "1":
+        frame = _mode_subprocess("frame", cap_s=480)
+        if frame is not None:
+            record["frame_metric"] = frame["metric"]
+            record["frame_value"] = frame["value"]
+            record["frame_unit"] = frame["unit"]
+            record["frame_crops_per_s"] = frame.get("crops_per_s")
+    if os.environ.get("BENCH_SKIP_FIT") != "1" \
+            and os.environ.get("BENCH_SKIP_512") != "1":
+        fit512 = _mode_subprocess("fit", {"BENCH_FIT_WH": "512"}, cap_s=480)
+        if fit512 is not None:
+            for k in ("fit512_metric", "fit512_value", "fit512_unit"):
+                if k in fit512:
+                    record[k] = fit512[k]
+    record["bench_wall_s"] = round(time.time() - _T0, 1)
+    print(json.dumps(record), flush=True)
 
 
 def _run_with_retries(attempts: int = 3):
     """The remote TPU worker can be mid-restart when the driver invokes the
     benchmark. A failed JAX client cannot recover in-process, so on failure
-    re-exec a fresh interpreter after the device answers again."""
+    re-exec a fresh interpreter after the device answers again — passing the
+    already-spent budget down so the total wall clock stays bounded."""
     import subprocess
-    import sys
     tries = int(os.environ.get("_BENCH_TRY", "0"))
     try:
         return main()
     except Exception as e:
-        if tries + 1 >= attempts:
+        if tries + 1 >= attempts or _remaining() < 120:
             raise
         print(f"# bench attempt {tries + 1} failed: {type(e).__name__}; "
               "re-probing device and re-executing", file=sys.stderr)
-        _wait_for_device(600)
-        env = dict(os.environ, _BENCH_TRY=str(tries + 1))
+        _wait_for_device(min(600.0, _remaining() - 90.0))
+        env = dict(os.environ, _BENCH_TRY=str(tries + 1),
+                   BENCH_TIME_BUDGET=str(max(_remaining(), 60.0)))
         out = subprocess.run([sys.executable] + sys.argv, env=env)
         sys.exit(out.returncode)
 
