@@ -216,35 +216,86 @@ def bench_track():
     }), flush=True)
 
 
-def _mode_subprocess(mode: str, extra_env=None, cap_s: float = 600.0,
-                     reserve_s: float = 45.0):
-    """Run a BENCH_MODE=<mode> benchmark crash-isolated under the remaining
-    budget; returns parsed JSON or None. One retry only if the budget still
-    allows a full attempt after a short device re-probe."""
+def _parse_mode_lines(text: str) -> dict:
+    """Collect {"mode": ...}-tagged JSON lines from sub-bench stdout."""
+    found = {}
+    for line in (text or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            found[rec.pop("mode", "?")] = rec
+    return found
+
+
+def _secondary_subprocess(modes, cap_s: float, reserve_s: float = 45.0):
+    """Run several BENCH_MODE benchmarks in ONE subprocess (one interpreter
+    start, one device probe, one asset load — the per-process overhead was
+    ~90 s × N modes). Each mode prints its own flushed JSON line the moment
+    it is measured, so a timeout or worker crash mid-run still yields every
+    number measured so far (subprocess.TimeoutExpired carries the partial
+    stdout). Returns {mode: record}."""
     import subprocess
-    env = dict(os.environ, BENCH_MODE=mode, _BENCH_TRY="9",
-               BENCH_PROBE_BUDGET="60")
-    env.update(extra_env or {})
-    for attempt in range(2):
-        timeout_s = min(cap_s, _remaining() - reserve_s)
-        if timeout_s < 60:
-            print(f"# bench: skipping {mode} (budget exhausted, "
-                  f"{_remaining():.0f}s left)", file=sys.stderr, flush=True)
-            return None
+    env = dict(os.environ, BENCH_MODE="secondary", _BENCH_TRY="9",
+               BENCH_PROBE_BUDGET="60", BENCH_SECONDARY=",".join(modes))
+    timeout_s = min(cap_s, _remaining() - reserve_s)
+    if timeout_s < 90:
+        print(f"# bench: skipping secondary modes {modes} (budget "
+              f"exhausted, {_remaining():.0f}s left)",
+              file=sys.stderr, flush=True)
+        return {}
+    stdout = ""
+    try:
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             timeout=timeout_s)
+        stdout = out.stdout
+    except subprocess.TimeoutExpired as e:
+        stdout = e.stdout or b""
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        print(f"# bench: secondary run hit its {timeout_s:.0f}s cap; "
+              "keeping partial results", file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"# bench: secondary run failed: {type(e).__name__}",
+              file=sys.stderr, flush=True)
+    return _parse_mode_lines(stdout)
+
+
+def bench_secondary():
+    """BENCH_MODE=secondary: run the BENCH_SECONDARY list sequentially in
+    this process, printing one {"mode": ...}-tagged flushed JSON line per
+    benchmark (the parent tolerates losing the tail on a crash)."""
+    import contextlib
+    import io
+    runners = {"fit256": (bench_fit, {"BENCH_FIT_WH": "256"}),
+               "fit512": (bench_fit, {"BENCH_FIT_WH": "512"}),
+               "track": (bench_track, {}),
+               "frame": (bench_frame, {})}
+    for mode in os.environ.get("BENCH_SECONDARY", "").split(","):
+        fn, env = runners.get(mode, (None, None))
+        if fn is None:
+            continue
+        os.environ.update(env)
+        buf = io.StringIO()
+        t0 = time.time()
         try:
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 timeout=timeout_s)
-            for line in out.stdout.splitlines():
-                line = line.strip()
-                if line.startswith("{"):
-                    return json.loads(line)
-        except Exception:
-            pass
-        if attempt == 0:
-            if not _wait_for_device(min(120.0, _remaining() - reserve_s)):
-                return None
-    return None
+            with contextlib.redirect_stdout(buf):
+                fn()
+        except Exception as e:
+            print(f"# bench: {mode} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            continue
+        for line in buf.getvalue().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                rec = json.loads(line)
+                rec["mode"] = mode
+                print(json.dumps(rec), flush=True)
+        print(f"# bench: {mode} done in {time.time() - t0:.0f}s",
+              file=sys.stderr, flush=True)
 
 
 def main():
@@ -268,6 +319,8 @@ def main():
         return bench_frame()
     if os.environ.get("BENCH_MODE") == "track":
         return bench_track()
+    if os.environ.get("BENCH_MODE") == "secondary":
+        return bench_secondary()
 
     assets = load_assets()
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -329,38 +382,57 @@ def main():
     # stdout (VERDICT r3 #1 — the r3 record was lost to exactly this).
     print(json.dumps(record), flush=True)
 
-    # Secondary configs, each crash-isolated and budget-bounded. Order by
-    # record value: config 4 (fit 256², the headline fit number), config 5
-    # (track — never landed in an official record before r4), config 3
-    # (frame), then the 512² fit extra if budget remains.
+    # Secondary configs in ONE crash-tolerant subprocess, ordered by record
+    # value: config 4 (fit 256², the headline fit number), config 5 (track —
+    # never landed in an official record before r4), config 3 (frame), then
+    # the 512² fit extra. Each prints its line the moment it is measured, so
+    # a worker crash mid-list keeps everything already measured. Any mode
+    # still missing gets one crash-isolated solo retry while budget remains.
+    want = []
     if os.environ.get("BENCH_SKIP_FIT") != "1":
-        fit = _mode_subprocess("fit", {"BENCH_FIT_WH": "256"}, cap_s=600)
-        if fit is not None:
+        want.append("fit256")
+    if os.environ.get("BENCH_SKIP_TRACK") != "1":
+        want.append("track")
+    if os.environ.get("BENCH_SKIP_FRAME") != "1":
+        want.append("frame")
+    if os.environ.get("BENCH_SKIP_FIT") != "1" \
+            and os.environ.get("BENCH_SKIP_512") != "1":
+        want.append("fit512")
+
+    def merge(found: dict):
+        if "fit256" in found:
+            fit = found["fit256"]
             record["fit_metric"] = fit["metric"]
             record["fit_value"] = fit["value"]
             record["fit_unit"] = fit["unit"]
-    if os.environ.get("BENCH_SKIP_TRACK") != "1":
-        track = _mode_subprocess("track", cap_s=480)
-        if track is not None:
+        if "track" in found:
+            track = found["track"]
             record["track_metric"] = track["metric"]
             record["track_value"] = track["value"]
             record["track_unit"] = track["unit"]
             record["track_player_frames_per_s"] = \
                 track.get("player_frames_per_s")
-    if os.environ.get("BENCH_SKIP_FRAME") != "1":
-        frame = _mode_subprocess("frame", cap_s=480)
-        if frame is not None:
+        if "frame" in found:
+            frame = found["frame"]
             record["frame_metric"] = frame["metric"]
             record["frame_value"] = frame["value"]
             record["frame_unit"] = frame["unit"]
             record["frame_crops_per_s"] = frame.get("crops_per_s")
-    if os.environ.get("BENCH_SKIP_FIT") != "1" \
-            and os.environ.get("BENCH_SKIP_512") != "1":
-        fit512 = _mode_subprocess("fit", {"BENCH_FIT_WH": "512"}, cap_s=480)
-        if fit512 is not None:
+        if "fit512" in found:
             for k in ("fit512_metric", "fit512_value", "fit512_unit"):
-                if k in fit512:
-                    record[k] = fit512[k]
+                if k in found["fit512"]:
+                    record[k] = found["fit512"][k]
+
+    if want:
+        found = _secondary_subprocess(want, cap_s=_remaining() - 45)
+        merge(found)
+        missing = [m for m in want if m not in found]
+        for m in missing:
+            if _remaining() < 180:
+                break
+            if not _wait_for_device(min(120.0, _remaining() - 120.0)):
+                break
+            merge(_secondary_subprocess([m], cap_s=_remaining() - 45))
     record["bench_wall_s"] = round(time.time() - _T0, 1)
     print(json.dumps(record), flush=True)
 

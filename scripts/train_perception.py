@@ -350,17 +350,25 @@ def _eval_fit3d(args):
     weights = args.weights or os.path.join(args.ckpt_dir, "weights_last.npz")
     assets = load_assets()
     variables = load_regressor_weights(weights, model, assets)
-    fit_cfg = None
-    if args.fit_iters:
-        from soccerplayershapepose_tpu.fit.engine import FitConfig
-        fit_cfg = FitConfig(iters=args.fit_iters, proxy_wh=args.wh,
-                            render_wh=min(args.wh, 256))
+    from soccerplayershapepose_tpu.fit.engine import FitConfig
+    fit_cfg = FitConfig(
+        iters=args.fit_iters or 100, proxy_wh=args.wh,
+        render_wh=min(args.wh, 256), lr=args.fit_lr,
+        joint_conf_weighting=args.conf_weight,
+        betas_prior=args.betas_prior, pose_prior=args.pose_prior,
+        rot_ortho_prior=args.ortho_prior,
+        silh_warmup_iters=args.silh_warmup)
     out = evaluate_fit_3d(model, variables["params"],
                           variables["batch_stats"], assets,
                           n_batches=args.eval_batches, batch=args.batch,
                           wh=args.wh, corrupt=not args.no_corrupt,
                           fit_cfg=fit_cfg)
     out["weights"] = weights
+    out["fit_knobs"] = {"lr": args.fit_lr, "conf_weight": args.conf_weight,
+                        "betas_prior": args.betas_prior,
+                        "pose_prior": args.pose_prior,
+                        "ortho_prior": args.ortho_prior,
+                        "silh_warmup": args.silh_warmup}
     print(json.dumps(out), flush=True)
     if args.json:
         with open(args.json, "w") as f:
@@ -491,6 +499,16 @@ def main():
     p.add_argument("--fit-iters", type=int, default=0,
                    help="eval-fit3d: override the 100-iter reference "
                         "budget (0 = default FitConfig)")
+    p.add_argument("--fit-lr", type=float, default=0.001,
+                   help="eval-fit3d: fitting Adam lr (reference 0.001)")
+    p.add_argument("--conf-weight", action="store_true",
+                   help="eval-fit3d: weight the joints2D fit loss by the "
+                        "keypoint score channel")
+    p.add_argument("--betas-prior", type=float, default=0.0)
+    p.add_argument("--pose-prior", type=float, default=0.0)
+    p.add_argument("--ortho-prior", type=float, default=0.0)
+    p.add_argument("--silh-warmup", type=int, default=0,
+                   help="eval-fit3d: silhouette-loss linear warmup iters")
     p.add_argument("--no-domain-rand", action="store_true",
                    help="ablation baseline: plain background, no blur/"
                         "photometric jitter")

@@ -80,6 +80,26 @@ class FitConfig:
     # degenerate-sentinel band skip. Measured v5e 256² b22: 3.8x fwd / 2.1x
     # grad over no-cull, 99.99% hard-pixel agreement.
     backface_cull: bool = True
+    # --- 3D-regularization knobs (TPU-rebuild additions; all off by default
+    # = reference parity). The reference's free-rotmat, 2D-only fit improves
+    # silhouette IoU while leaving 3D error flat (measured: GT-3D cell,
+    # weights/fit3d_benchmark.json): 2D gains can come from non-rotation
+    # shear in the free 3x3s and from depth-ambiguous pose drift. These
+    # priors keep the iterate on/near the rotation manifold and near the
+    # regressor init so 2D refinement translates into 3D gains.
+    # Weight the joints2D loss per joint by the keypoint score channel
+    # (targets (B,17,3); scores exist in every deployment proxy,
+    # *_j2d.xml (17,3) — the reference drops them, player_recon.py:1217).
+    joint_conf_weighting: bool = False
+    # w * mean(sum(betas^2)): betas are N(0,1) in SMPL's PCA space.
+    betas_prior: float = 0.0
+    # w * mean((body_pose - frozen["pose_prior_ref"])^2): stay near init.
+    pose_prior: float = 0.0
+    # w * mean(||R^T R - I||_F^2) over assembled rotmats.
+    rot_ortho_prior: float = 0.0
+    # Linear warm-up of the silhouette loss over this many iterations
+    # (joints establish pose/cam before the dense term bites).
+    silh_warmup_iters: int = 0
     # single_view_optimization_test parity (player_recon.py:1309-1567):
     # save_every updates the kept iterate EVERY iteration (bypasses the
     # all-metrics-improve rule); snapshot_every=K additionally returns the
@@ -220,10 +240,31 @@ def _segment_runner(assemble, fit_cfg: FitConfig, group_size: int):
             outputs = {"joints2D": ev["pred_j2d"] * row_mask[:, None, None]}
             labels = {"joints2D":
                       target_joints2d[..., :2] * row_mask[:, None, None]}
+            if fit_cfg.joint_conf_weighting \
+                    and target_joints2d.shape[-1] >= 3:
+                labels["vis"] = target_joints2d[..., 2] * row_mask[:, None]
             if fit_cfg.use_silhouette:
                 outputs["silhouette"] = ev["pred_sil"] * row_mask[:, None, None]
                 labels["silhouette"] = ev["target_sil"] * row_mask[:, None, None]
-            total, _ = multi_task_loss(log_vars, outputs, labels, loss_cfg)
+            task_scales = None
+            if fit_cfg.silh_warmup_iters and fit_cfg.use_silhouette:
+                task_scales = {"silhouette": jnp.minimum(
+                    (it + 1.0) / fit_cfg.silh_warmup_iters, 1.0)}
+            total, _ = multi_task_loss(log_vars, outputs, labels, loss_cfg,
+                                       task_scales)
+            if fit_cfg.betas_prior:
+                total = total + fit_cfg.betas_prior * jnp.mean(
+                    jnp.sum(betas ** 2, axis=-1) * row_mask)
+            if fit_cfg.pose_prior and "pose_prior_ref" in frozen:
+                dev = (body_pose - frozen["pose_prior_ref"]) ** 2
+                total = total + fit_cfg.pose_prior * jnp.mean(
+                    jnp.sum(dev, axis=(-3, -2, -1)) * row_mask)
+            if fit_cfg.rot_ortho_prior:
+                rots = jnp.concatenate([global_orient, body_pose], axis=1)
+                rtr = jnp.einsum("bjki,bjkl->bjil", rots, rots)
+                dev = (rtr - jnp.eye(3, dtype=rots.dtype)) ** 2
+                total = total + fit_cfg.rot_ortho_prior * jnp.mean(
+                    jnp.sum(dev, axis=(-2, -1)).mean(axis=-1) * row_mask)
             return total, ev
 
         (_, ev), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)

@@ -79,6 +79,10 @@ def single_view_fit(assets: SMPLAssets,
         "betas": init.betas,
     }
     frozen = {"body_pose_init": init.body_pose}
+    if fit_cfg.pose_prior:
+        # Deviation-from-init prior reference (engine loss; assembled pose
+        # rows match init rows 1:1 in this stage).
+        frozen["pose_prior_ref"] = init.body_pose
 
     best_params, best = run_fit_loop(assets, trainable, frozen,
                                      _assemble_single,

@@ -66,7 +66,9 @@ def _masked_mse(pred, target, mask=None):
 def multi_task_loss(log_vars: dict,
                     outputs: dict,
                     labels: dict,
-                    config: MultiTaskLossConfig) -> tuple[jnp.ndarray, dict]:
+                    config: MultiTaskLossConfig,
+                    task_scales: Optional[dict] = None
+                    ) -> tuple[jnp.ndarray, dict]:
     """Compute the weighted total loss and the per-task loss dict.
 
     Args:
@@ -75,7 +77,12 @@ def multi_task_loss(log_vars: dict,
         'verts' (B,V,3), 'joints2D' (B,J,2) px, 'joints3D' (B,J,3),
         'pose_params_rot_matrices' (B,24,3,3) [labels may be (B,23,3,3)],
         'shape_params' (B,10), 'silhouette' (B,H,W);
-        labels may carry 'vis' (B,J) bool joint visibility.
+        labels may carry 'vis' (B,J) joint visibility — bool mask or float
+        per-joint confidence weights (the weighted mean normalizes by the
+        weight sum either way).
+      task_scales: optional {task: scalar} multiplier on the raw task loss
+        before uncertainty weighting (e.g. a silhouette warm-up schedule).
+        None = reference parity.
 
     Returns:
       (total scalar, {task: weighted task loss}).
@@ -85,6 +92,8 @@ def multi_task_loss(log_vars: dict,
 
     def add(task, raw, negate=False):
         nonlocal total
+        if task_scales is not None and task in task_scales:
+            raw = raw * task_scales[task]
         lv = log_vars[task]
         weighted = raw * jnp.exp(-lv)
         total_term = (-weighted if negate else weighted) + lv

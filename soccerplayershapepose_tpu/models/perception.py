@@ -109,9 +109,12 @@ def decode_keypoints(kp_logits: jnp.ndarray,
                      stride: int = STRIDE) -> jnp.ndarray:
     """Heatmap logits → (B, 17, 3) ``[x, y, score]`` in input pixel space.
 
-    Argmax peak + quarter-pixel offset toward the stronger neighbour (the
-    standard heatmap decode), scaled by the head stride. Matches the KP-RCNN
-    output contract consumed at predict_joints2D.py:48-51.
+    Argmax peak + per-axis 3-point parabola vertex on the log-probability
+    (DARK-style sub-pixel refinement: the training target is a Gaussian, so
+    log p is locally quadratic and the parabola vertex recovers the
+    continuous peak — replaces the ±quarter-cell sign heuristic, whose
+    stride-4 quantization floor dominated keypoint error). Matches the
+    KP-RCNN output contract consumed at predict_joints2D.py:48-51.
     """
     b, h, w, k = kp_logits.shape
     hm = kp_logits.reshape(b, h * w, k)
@@ -121,16 +124,31 @@ def decode_keypoints(kp_logits: jnp.ndarray,
     py = idx // w
     px = idx % w
 
-    def neighbour(dy, dx):
+    def logp(dy, dx):
         yy = jnp.clip(py + dy, 0, h - 1)
         xx = jnp.clip(px + dx, 0, w - 1)
-        return jnp.take_along_axis(hm, (yy * w + xx)[:, None, :],
-                                   axis=1)[:, 0, :]
+        logits = jnp.take_along_axis(hm, (yy * w + xx)[:, None, :],
+                                     axis=1)[:, 0, :]
+        return -jax.nn.softplus(-logits)                    # log sigmoid
 
-    dx = 0.25 * jnp.sign(neighbour(0, 1) - neighbour(0, -1))
-    dy = 0.25 * jnp.sign(neighbour(1, 0) - neighbour(-1, 0))
-    x = (px.astype(jnp.float32) + dx + 0.5) * stride
-    y = (py.astype(jnp.float32) + dy + 0.5) * stride
+    def vertex(lo, c, hi):
+        denom = lo - 2.0 * c + hi
+        off = 0.5 * (lo - hi) / jnp.where(jnp.abs(denom) < 1e-6, 1.0, denom)
+        # Parabola only valid around a true local max; clamp to the cell and
+        # fall back to 0 when the argmax sits on a plateau/edge artifact.
+        off = jnp.where(jnp.abs(denom) < 1e-6, 0.0, off)
+        return jnp.clip(off, -0.5, 0.5)
+
+    c = logp(0, 0)
+    dx = vertex(logp(0, -1), c, logp(0, 1))
+    dy = vertex(logp(-1, 0), c, logp(1, 0))
+    # Keep coordinates inside the image: a border-cell argmax plus +0.5
+    # vertex offset would otherwise land exactly on W (one past the last
+    # pixel in the reference's convention).
+    x = jnp.clip((px.astype(jnp.float32) + dx + 0.5) * stride,
+                 0.0, w * stride - 1.0)
+    y = jnp.clip((py.astype(jnp.float32) + dy + 0.5) * stride,
+                 0.0, h * stride - 1.0)
     return jnp.stack([x, y, peak], axis=-1)
 
 

@@ -180,9 +180,20 @@ def make_proxynet_train_step(model: ProxyNet,
 
 
 def make_detector_train_step(model: PlayerDetector,
-                             tx: optax.GradientTransformation):
+                             tx: optax.GradientTransformation,
+                             min_visible_fill: float = 0.08):
+    """``min_visible_fill``: GT boxes more than ~80% occluded (visible fill
+    below this; full visibility ≈ 0.35-0.45, synth.synth_frame_batch) are
+    dropped from the targets — supervising centers of players hidden behind
+    other players teaches the net to hallucinate, costing precision
+    everywhere else."""
     def train_step(state: PerceptionTrainState, batch):
         hw = batch["image"].shape[1:3]
+        mask = batch["mask"]
+        if min_visible_fill and "visible_fill" in batch:
+            mask = mask * (batch["visible_fill"]
+                           >= min_visible_fill).astype(mask.dtype)
+        batch = dict(batch, mask=mask)
         targets = center_targets(batch["boxes"], batch["mask"], hw)
 
         def loss_fn(p):

@@ -169,8 +169,19 @@ def evaluate_detector(model, variables, assets, n_batches: int = 8,
                       n_players: int = 8, seed: int = 0,
                       iou_thresh: float = 0.5,
                       score_thresh: float = 0.7,
-                      flip_tta: bool = False) -> dict:
-    """AP@IoU plus precision/recall at the reference operating point."""
+                      flip_tta: bool = False,
+                      ignore_below_fill: float = 0.12) -> dict:
+    """AP@IoU plus precision/recall at the reference operating point.
+
+    ``ignore_below_fill``: COCO-style ignore handling for heavily occluded
+    players — GT boxes whose visible fill (synth_frame_batch.visible_fill;
+    full visibility ≈ 0.35-0.45) is below this are excluded from the GT set,
+    AND detections matching them (IoU ≥ ``iou_thresh``) are dropped from
+    scoring rather than counted as false positives. The reference detector's
+    role is finding VISIBLE people (player_detection.py:16-37); a z-buffered
+    synthetic player 90% hidden behind another has no counterpart in that
+    task. 0 restores the legacy all-GT accounting.
+    """
     import jax.numpy as jnp
     from soccerplayershapepose_tpu.models.detector import (
         apply_flip_tta, decode_detections)
@@ -184,6 +195,7 @@ def evaluate_detector(model, variables, assets, n_batches: int = 8,
 
     records = []      # (score, is_tp)
     n_gt = 0
+    n_ignored_gt = 0
     matched_ious = []
     tp_at_op = fp_at_op = 0
 
@@ -197,10 +209,16 @@ def evaluate_detector(model, variables, assets, n_batches: int = 8,
         scores = np.asarray(dets.scores)
         gt_boxes = np.asarray(data["boxes"])
         gt_mask = np.asarray(data["mask"]) > 0.5
+        fill = np.asarray(data["visible_fill"])
         for i in range(len(boxes)):
-            gt = gt_boxes[i][gt_mask[i]]
+            visible = gt_mask[i] & (fill[i] >= ignore_below_fill)
+            ignored = gt_mask[i] & ~visible
+            gt = gt_boxes[i][visible]
+            gt_ign = gt_boxes[i][ignored]
             n_gt += len(gt)
+            n_ignored_gt += len(gt_ign)
             iou = _box_iou_matrix(boxes[i], gt)
+            iou_ign = _box_iou_matrix(boxes[i], gt_ign)
             taken = np.zeros(len(gt), bool)
             for k in np.argsort(-scores[i]):         # descending score
                 if scores[i][k] <= 1e-4:
@@ -212,6 +230,9 @@ def evaluate_detector(model, variables, assets, n_batches: int = 8,
                         taken[j] = True
                         tp = True
                         matched_ious.append(float(iou[k, j]))
+                if not tp and len(gt_ign) \
+                        and iou_ign[k].max() >= iou_thresh:
+                    continue          # matches an ignored (occluded) GT
                 records.append((float(scores[i][k]), tp))
                 if scores[i][k] >= score_thresh:
                     tp_at_op += int(tp)
@@ -236,6 +257,8 @@ def evaluate_detector(model, variables, assets, n_batches: int = 8,
     return {
         "eval_hw": list(hw),
         "n_gt_boxes": n_gt,
+        "n_ignored_gt_boxes": n_ignored_gt,
+        "ignore_below_fill": ignore_below_fill,
         f"ap@{iou_thresh}": float(ap),
         f"recall@score{score_thresh}": tp_at_op / max(n_gt, 1),
         f"precision@score{score_thresh}":

@@ -60,7 +60,9 @@ def corrupt_proxy_inputs(rng: jax.Array,
                          drop_p: float = 0.08,
                          max_cutouts: int = 2,
                          cutout_p: float = 0.5,
-                         cutout_frac: float = 0.35):
+                         cutout_frac: float = 0.35,
+                         return_scores: bool = False,
+                         score_noise: float = 0.75):
     """Detector-noise augmentation on clean GT proxy inputs.
 
     STRAPS-style corruption: per-joint Gaussian jitter (σ =
@@ -75,16 +77,30 @@ def corrupt_proxy_inputs(rng: jax.Array,
       silhouette: (B, wh, wh) {0,1}.
       joints2d: (B, 17, 2) pixels in the silhouette's frame.
 
+    When ``return_scores`` is set, a third value — per-joint confidence
+    scores (B, 17) in (0, 1) — is returned, modeled as a NOISY correlate of
+    the actual injected error (``score_noise`` std-normal units on the
+    normalized-error logit; 0.75 calibrates the score↔error rank-AUC to
+    ≈0.73, the trained ProxyNet's measured held-out rank-AUC,
+    QUALITY_r03.json) — deliberately not an oracle. Dropped joints score 0.
+
     Returns:
-      (silhouette', joints2d') with the same shapes.
+      (silhouette', joints2d'[, scores]) with the same leading shapes.
     """
     b, wh = silhouette.shape[0], silhouette.shape[-1]
-    k_jit, k_drop, k_cut = jax.random.split(rng, 3)
+    k_jit, k_drop, k_cut, k_score = jax.random.split(rng, 4)
 
-    joints = joints2d + jax.random.normal(k_jit, joints2d.shape) \
-        * (jitter_frac * wh)
+    jit_px = jax.random.normal(k_jit, joints2d.shape) * (jitter_frac * wh)
+    joints = joints2d + jit_px
     dropped = jax.random.bernoulli(k_drop, drop_p, joints2d.shape[:2])
     joints = jnp.where(dropped[..., None], _DROPPED_JOINT, joints)
+    scores = None
+    if return_scores:
+        err_norm = jnp.linalg.norm(jit_px, axis=-1) \
+            / jnp.maximum(jitter_frac * wh, 1e-6)
+        noise = jax.random.normal(k_score, err_norm.shape) * score_noise
+        scores = jax.nn.sigmoid(2.0 - err_norm + noise)
+        scores = jnp.where(dropped, 0.0, scores)
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (1, wh, wh), 1)
     xs = jax.lax.broadcasted_iota(jnp.float32, (1, wh, wh), 2)
@@ -99,6 +115,8 @@ def corrupt_proxy_inputs(rng: jax.Array,
         inside = ((jnp.abs(xs - centre[:, 0, None, None]) < half[:, 0, None, None])
                   & (jnp.abs(ys - centre[:, 1, None, None]) < half[:, 1, None, None]))
         sil = jnp.where(active & inside, 0.0, sil)
+    if return_scores:
+        return sil, joints, scores
     return sil, joints
 
 
@@ -242,21 +260,26 @@ def synth_fit_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
     ``single_view_fit`` the proxies ``create_proxy`` wrote
     (player_recon.py:1107-1130). Corruption uses jitter + cut-outs but NO
     joint dropout: the fit loss consumes raw coordinates without confidence
-    gating (engine.py loss), as the reference does.
+    gating (engine.py loss), as the reference does. The fit targets carry a
+    score channel ((B,17,3), noisy error correlate — see
+    :func:`corrupt_proxy_inputs`) so confidence-weighted fitting
+    (FitConfig.joint_conf_weighting) can be measured; clean batches score 1.
     """
     k_synth, k_corrupt = jax.random.split(rng)
     data = synth_crop_batch(assets, k_synth, b=b, wh=wh, occluders=True,
                             with_image=False, return_params=True)
     sil, joints = data["silhouette"], data["joints2d"]
+    scores = jnp.ones(joints.shape[:2], joints.dtype)
     if corrupt:
-        sil, joints = corrupt_proxy_inputs(k_corrupt, sil, joints,
-                                           jitter_frac=jitter_frac,
-                                           drop_p=0.0)
+        sil, joints, scores = corrupt_proxy_inputs(
+            k_corrupt, sil, joints, jitter_frac=jitter_frac, drop_p=0.0,
+            return_scores=True)
     proxy = create_proxy_representation(sil, joints, in_wh=wh)
     scale = cfg.PROXY_REP_INPUT_WH / float(wh)
     return {"proxy": proxy,
             "silhouette": sil,                     # fit target (wh²)
-            "joints2d_fit": joints,                # fit target (wh px)
+            "joints2d_fit": jnp.concatenate(       # fit target (wh px, +score)
+                [joints, scores[..., None]], axis=-1),
             "joints2d": data["joints2d"] * scale,  # clean GT (512 px)
             "target_pose": jnp.concatenate(
                 [data["global_orient"], data["body_pose"]], axis=1),

@@ -473,7 +473,12 @@ def synth_frame_batch(assets: SMPLAssets, rng: jax.Array, b: int = 2,
     detector sees variable player counts.
 
     Returns dict: image (B, H, W, 3); boxes (B, N, 4) pixel [x1,y1,x2,y2];
-    mask (B, N) validity.
+    mask (B, N) validity; visible_fill (B, N) = visible (unoccluded,
+    z-buffer-winning) pixels / bbox area. A fully visible player fills
+    ~0.35-0.45 of its bbox, so fill ≈ 0.04 means ~90% occluded — callers
+    gate on this (training: don't teach the net to hallucinate hidden
+    players; eval: COCO-style ignore, the torchvision reference is only
+    ever asked for VISIBLE people, player_detection.py:16-37).
     """
     h, w = hw
     wh = max(h, w)
@@ -506,19 +511,36 @@ def synth_frame_batch(assets: SMPLAssets, rng: jax.Array, b: int = 2,
     v = assets.v_template.shape[0]
     scene_v2d = verts2d.reshape(b, n_players * v, 2)
     scene_z = verts_z.reshape(b, n_players * v)
-    scene_colors = colors.reshape(b, n_players * v, 3)
+    # 4th attribute channel: per-player id (1..N) — the z-buffer winner per
+    # pixel identifies WHICH player is visible there (all three verts of any
+    # face share the id, so interpolation is exact).
+    ids = jnp.repeat(jnp.arange(1, n_players + 1, dtype=jnp.float32), v)
+    scene_attrs = jnp.concatenate(
+        [colors.reshape(b, n_players * v, 3),
+         jnp.broadcast_to(ids[None, :, None], (b, n_players * v, 1))],
+        axis=-1)
     scene_faces = (jnp.tile(assets.faces, (n_players, 1))
                    + (jnp.arange(n_players).repeat(assets.faces.shape[0])
                       * v)[:, None])
-    body, mask = rasterize_attributes(scene_v2d, scene_z, scene_colors,
-                                      scene_faces, wh)
-    body = body[:, :h, :w]
+    attrs, mask = rasterize_attributes(scene_v2d, scene_z, scene_attrs,
+                                       scene_faces, wh)
+    body = attrs[:, :h, :w, :3]
     any_sil = mask[:, :h, :w].astype(jnp.float32)
+    id_map = jnp.round(attrs[:, :h, :w, 3]) * any_sil        # (B, h, w)
+
+    boxes_n = boxes.reshape(b, n_players, 4)
+    vis_px = jnp.sum(
+        id_map[..., None] == jnp.arange(1, n_players + 1, dtype=jnp.float32),
+        axis=(1, 2)).astype(jnp.float32)                     # (B, N)
+    area = jnp.clip((boxes_n[..., 2] - boxes_n[..., 0])
+                    * (boxes_n[..., 3] - boxes_n[..., 1]), 1.0, None)
+    visible_fill = vis_px / area
 
     bg = _background(keys[5], b, h, w)
     image = body * any_sil[..., None] + bg * (1 - any_sil[..., None])
     image = _photometric(jax.random.fold_in(keys[7], 1),
                          _motion_blur(keys[6], image))
 
-    return {"image": image, "boxes": boxes.reshape(b, n_players, 4),
-            "mask": valid.reshape(b, n_players)}
+    return {"image": image, "boxes": boxes_n,
+            "mask": valid.reshape(b, n_players),
+            "visible_fill": visible_fill}
