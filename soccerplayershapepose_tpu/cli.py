@@ -233,6 +233,25 @@ def main(argv=None) -> int:
                         "the reference's 0.7)")
     p.add_argument("--flip-tta", action="store_true")
 
+    p = sub.add_parser("harvest-frames",
+                       help="match video -> classified <game>/<scene> "
+                            "frame tree (classification.py "
+                            "predict_with_classifier_final)")
+    p.add_argument("--video", required=True, nargs="+",
+                   help="one or more video files")
+    p.add_argument("--out-root", required=True)
+    p.add_argument("--classifier-params", default=None,
+                   help="trained ClassifyNet params .npz "
+                        "(pipeline/classification.py); omit to accept "
+                        "every sampled frame")
+    p.add_argument("--n-samples", type=int, default=500,
+                   help="random frames sampled per video (reference 500)")
+    p.add_argument("--max-accepted", type=int, default=200,
+                   help="accepted frames kept per video (reference 200)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+
     args = parser.parse_args(argv)
 
     if args.command == "train-perception":
@@ -269,6 +288,23 @@ def main(argv=None) -> int:
                                  batch_size=args.batch_size,
                                  write_iuv=args.write_iuv)
         print(json.dumps(out))
+        return 0
+
+    if args.command == "harvest-frames":
+        from soccerplayershapepose_tpu.pipeline.classification import \
+            load_classifier
+        from soccerplayershapepose_tpu.pipeline.video import \
+            harvest_frames_stage
+        gate = (load_classifier(args.classifier_params)
+                if args.classifier_params else None)
+        results = []
+        for k, video in enumerate(args.video):
+            results.append(harvest_frames_stage(
+                video, args.out_root, classifier=gate,
+                n_samples=args.n_samples, max_accepted=args.max_accepted,
+                seed=args.seed + k, size_hw=(args.height, args.width)))
+        print(json.dumps({"videos": results,
+                          "accepted": sum(r["accepted"] for r in results)}))
         return 0
 
     if args.command == "detect-players":

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,3 +92,93 @@ class Classifier:
             feats = self.feature_fn(feats)
         pred = self._apply(self.params, jnp.asarray(feats[None]))
         return bool(int(pred[0]) == 1)
+
+    __call__ = process      # usable directly as a harvest-stage gate
+
+
+class FrameFeatureNet(nn.Module):
+    """Frozen-backbone feature extractor for frame classification.
+
+    The reference feeds ClassifyNet the 1000-way logits of a frozen
+    ImageNet torchvision ResNet-18 (classification.py:128-130, 189-197:
+    resize 256 → centre-crop 224 → normalize). Same contract here as a
+    flax ResNet-18 trunk + Dense(1000) head whose weights come either from
+    a torch-imported checkpoint (utils/model_utils import path) or from
+    any in-domain pretraining — the MLP head is trained on whatever this
+    net outputs, so only train/inference consistency matters, not ImageNet
+    provenance.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False):
+        """(B, H, W, 3) float [0,1] → (B, 1000) logits."""
+        from soccerplayershapepose_tpu.models.resnet import resnet18
+        mean = jnp.asarray([0.485, 0.456, 0.406], self.dtype)
+        std = jnp.asarray([0.229, 0.224, 0.225], self.dtype)
+        x = (images.astype(self.dtype) - mean) / std
+        feats = resnet18(dtype=self.dtype)(x, train=train)
+        return nn.Dense(1000, dtype=self.dtype)(feats)
+
+
+def preprocess_frame(frame_u8: np.ndarray, out_wh: int = 224) -> np.ndarray:
+    """Broadcast frame → (224, 224, 3) float [0,1] classifier input.
+
+    The reference transform (classification.py "transform": Resize(256) →
+    CenterCrop(224) → ToTensor): resize so the SHORT side is 256
+    (aspect-preserving), centre-crop 224².
+    """
+    h, w = frame_u8.shape[:2]
+    scale = 256.0 / min(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    ys = (np.arange(nh) + 0.5) * (h / nh) - 0.5
+    xs = (np.arange(nw) + 0.5) * (w / nw) - 0.5
+    yi = np.clip(np.round(ys).astype(int), 0, h - 1)
+    xi = np.clip(np.round(xs).astype(int), 0, w - 1)
+    resized = frame_u8[yi][:, xi]
+    y0, x0 = (nh - out_wh) // 2, (nw - out_wh) // 2
+    crop = resized[y0:y0 + out_wh, x0:x0 + out_wh]
+    return crop.astype(np.float32) / 255.0
+
+
+def make_frame_classifier(head_params, feature_params=None) -> Classifier:
+    """Assemble the full frame gate: raw frame → features → ClassifyNet.
+
+    With ``feature_params`` the :class:`FrameFeatureNet` runs on device
+    (jitted); without, the classifier only accepts precomputed (1000,)
+    feature vectors.
+    """
+    if feature_params is None:
+        return Classifier(head_params)
+    net = FrameFeatureNet()
+    fwd = jax.jit(lambda p, x: net.apply(p, x))
+
+    def feature_fn(frame_u8: np.ndarray) -> np.ndarray:
+        x = preprocess_frame(np.asarray(frame_u8))
+        return np.asarray(fwd(feature_params, jnp.asarray(x[None])))[0]
+
+    return Classifier(head_params, feature_fn=feature_fn)
+
+
+def save_classifier(path: str, head_params, feature_params=None) -> None:
+    """Bundle ClassifyNet (+ optional FrameFeatureNet) params as flat npz."""
+    from soccerplayershapepose_tpu.train.checkpoint import _flatten
+    tree = {"head": head_params}
+    if feature_params is not None:
+        tree["features"] = feature_params
+    np.savez(path, **_flatten(tree))
+
+
+def load_classifier(path: str) -> Classifier:
+    """Load a :func:`save_classifier` bundle into a ready frame gate."""
+    from soccerplayershapepose_tpu.train.checkpoint import _unflatten_like
+    flat = dict(np.load(path))
+    head_tpl = ClassifyNet().init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 1000)))
+    tree = {"head": head_tpl}
+    if any(k.startswith("features") for k in flat):
+        tree["features"] = FrameFeatureNet().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    t = _unflatten_like(tree, flat)
+    return make_frame_classifier(t["head"], t.get("features"))
