@@ -298,30 +298,21 @@ def bench_secondary():
               file=sys.stderr, flush=True)
 
 
-def main():
+def bench_headline():
+    """BENCH_MODE=headline: the configs-1/2 predict-slice measurement.
+
+    Runs in a CAPPED SUBPROCESS of the orchestrating parent: the axon
+    worker sometimes hangs mid-compile during recovery (measured r4 dress
+    rehearsal: 23 min in-process hang, zero output — the exact r3 official-
+    record failure). A hang here now costs one bounded attempt, not the
+    whole record.
+    """
     import jax.numpy as jnp
     from soccerplayershapepose_tpu.pipeline.predict import build_predictor
     from soccerplayershapepose_tpu.smpl import load_assets
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
-    if not _wait_for_device(min(900.0, max(_remaining() - 240.0, 60.0))):
-        # A DOWN (hanging) backend would hang the first in-process JAX op
-        # forever — fail fast with a diagnosable exit instead of wedging
-        # the caller. No JSON line: a missing number is honest, a fake
-        # zero is not.
-        print("# bench: TPU backend unreachable within the probe budget; "
-              "aborting without a measurement", file=sys.stderr)
-        sys.exit(3)
-    if os.environ.get("BENCH_MODE") == "fit":
-        return bench_fit()
-    if os.environ.get("BENCH_MODE") == "frame":
-        return bench_frame()
-    if os.environ.get("BENCH_MODE") == "track":
-        return bench_track()
-    if os.environ.get("BENCH_MODE") == "secondary":
-        return bench_secondary()
-
     assets = load_assets()
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     _, params, fn = build_predictor(in_channels=18, resnet_layers=18,
@@ -358,6 +349,9 @@ def main():
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / baseline, 3),
     }
+    # Bank the batch-128 number before the small-batch extras: a worker
+    # hang below costs only the extras (parent parses the LAST line).
+    print(json.dumps(record), flush=True)
     # BASELINE configs 1-2: single-crop latency and per-frame (32-crop)
     # batched inference — same compiled program at smaller static batches.
     if os.environ.get("BENCH_SKIP_SMALL") != "1":
@@ -377,6 +371,61 @@ def main():
                 record["single_crop_latency_ms"] = round(dt_s / n * 1e3, 3)
             else:
                 record["batch32_crops_per_s"] = round(small * n / dt_s, 1)
+    print(json.dumps(record), flush=True)
+    return 0
+
+
+def main():
+    """Pure orchestrator: never imports JAX, so a wedged TPU backend can
+    never hang the record. Headline and secondary configs each run in
+    capped subprocesses; whatever is measured is printed the moment it
+    exists, and the merged record is reprinted as the final line."""
+    mode = os.environ.get("BENCH_MODE")
+    if mode in ("headline", "fit", "frame", "track", "secondary"):
+        if not _wait_for_device(min(900.0, max(_remaining() - 240.0, 60.0))):
+            print("# bench: TPU backend unreachable within the probe "
+                  "budget; aborting without a measurement", file=sys.stderr)
+            sys.exit(3)
+        return {"headline": bench_headline, "fit": bench_fit,
+                "frame": bench_frame, "track": bench_track,
+                "secondary": bench_secondary}[mode]()
+
+    import subprocess
+    record = None
+    for attempt in range(3):
+        cap = min(float(os.environ.get("BENCH_HEADLINE_CAP", "480")),
+                  _remaining() - 300.0)
+        if cap < 120:
+            break
+        env = dict(os.environ, BENCH_MODE="headline",
+                   BENCH_PROBE_BUDGET="120")
+        stdout = ""
+        try:
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 timeout=cap)
+            stdout = out.stdout
+        except subprocess.TimeoutExpired as e:
+            stdout = e.stdout or ""
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode(errors="replace")
+            print(f"# bench: headline attempt {attempt + 1} hit its "
+                  f"{cap:.0f}s cap", file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"# bench: headline attempt failed: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
+        lines = [ln.strip() for ln in stdout.splitlines()
+                 if ln.strip().startswith("{")]
+        if lines:
+            record = json.loads(lines[-1])
+            break
+    if record is None:
+        # Still print a parseable record: a missing value is honest, a
+        # silent rc!=0 would lose every downstream number too.
+        record = {"metric": "player crops/sec/chip (crop->SMPL mesh)",
+                  "value": None, "unit": "crops/s", "vs_baseline": None,
+                  "error": "headline did not complete within budget "
+                           "(TPU worker unreachable or hung)"}
     # HEADLINE LANDS NOW: even if a later sub-benchmark or the driver's
     # timeout kills this process, the configs-1/2 record is already on
     # stdout (VERDICT r3 #1 — the r3 record was lost to exactly this).

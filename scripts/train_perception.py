@@ -174,10 +174,42 @@ def _train_segment(args, kind):
             return s2, out
 
         step_fn = jax.jit(_regressor_step)
-        batch_fn = lambda i: synth_regressor_batch(  # noqa: E731
-            assets, jax.random.fold_in(base, i), b=args.batch, wh=args.wh,
-            corrupt=not args.no_corrupt,
-            occluders=not args.no_occluders)
+        if args.via_proxynet:
+            # E2E fine-tune: train on proxies EXTRACTED by the trained
+            # ProxyNet (the real deployment inputs) mixed with the plain
+            # corrupted-GT batches (keeps clean-proxy performance);
+            # --p-real sets the extracted fraction.
+            from soccerplayershapepose_tpu.models.perception import ProxyNet
+            from soccerplayershapepose_tpu.pipeline.extract import \
+                ProxyExtractor
+            from soccerplayershapepose_tpu.train.perception import \
+                load_perception_weights
+            from soccerplayershapepose_tpu.train.straps import \
+                extracted_regressor_batch
+            pnet = ProxyNet(with_iuv=not args.no_iuv, channels=args.channels)
+            pvars = load_perception_weights(args.via_proxynet, pnet,
+                                            wh=args.wh)
+            ex = ProxyExtractor(pnet, pvars, wh=args.wh,
+                                flip_tta=args.flip_tta)
+            import numpy as _np
+
+            def batch_fn(i, _ex=ex):
+                # Per-step deterministic mix decision (stable across
+                # segment re-exec boundaries).
+                if _np.random.RandomState(
+                        args.seed * 1000003 + i).rand() < args.p_real:
+                    return extracted_regressor_batch(
+                        assets, _ex, jax.random.fold_in(base, i),
+                        b=args.batch, wh=args.wh)
+                return synth_regressor_batch(
+                    assets, jax.random.fold_in(base, i), b=args.batch,
+                    wh=args.wh, corrupt=not args.no_corrupt,
+                    occluders=not args.no_occluders)
+        else:
+            batch_fn = lambda i: synth_regressor_batch(  # noqa: E731
+                assets, jax.random.fold_in(base, i), b=args.batch,
+                wh=args.wh, corrupt=not args.no_corrupt,
+                occluders=not args.no_occluders)
     else:
         model, tx, state = _detector_setup(args)
         step_fn = jax.jit(make_detector_train_step(model, tx))

@@ -249,6 +249,56 @@ def evaluate_regressor(regressor, params, batch_stats, assets: SMPLAssets,
     return out
 
 
+def extracted_regressor_batch(assets: SMPLAssets, extractor, rng: jax.Array,
+                              b: int = 16, wh: int = 256,
+                              jitter_frac: float = 0.02,
+                              drop_p: float = 0.08) -> dict:
+    """One regressor batch whose proxies come from the REAL perception path.
+
+    Replaces :func:`corrupt_proxy_inputs`'s hand-modeled detector noise with
+    the thing itself: domain-randomized synth RGB crops are run through the
+    trained ProxyNet extractor (the deployment create_proxy chain,
+    player_recon.py:61-124) and the EXTRACTED silhouette/keypoints build
+    the training proxy, while supervision stays the generating GT SMPL
+    parameters. Fine-tuning the regressor on these batches closes the
+    train/deploy input gap measured in ``regressor_18ch_e2e.json`` (clean
+    173 mm → extracted 288 mm MPJPE at round 3).
+
+    Rows whose extraction fails (no instance found) fall back to the
+    corrupted GT proxy, so the batch shape stays static for jit.
+    """
+    import numpy as np
+    k_synth, k_corrupt = jax.random.split(rng)
+    data = synth_crop_batch(assets, k_synth, b=b, wh=wh, occluders=True,
+                            domain_rand=True, return_params=True,
+                            with_image=True)
+    images_u8 = np.asarray(
+        jnp.clip(data["image"] * 255.0, 0, 255)).astype(np.uint8)
+    # Fallback for failed rows: the hand-modeled corruption (same noise
+    # family the base trainer used).
+    fb_sil, fb_joints = corrupt_proxy_inputs(
+        k_corrupt, data["silhouette"], data["joints2d"],
+        jitter_frac=jitter_frac, drop_p=drop_p)
+    fb_sil, fb_joints = np.asarray(fb_sil), np.asarray(fb_joints)
+    sils, kps = [], []
+    for j, (kp, sil, _) in enumerate(extractor(images_u8)):
+        if kp is None:
+            sils.append(fb_sil[j])
+            kps.append(fb_joints[j])
+        else:
+            sils.append(sil.astype(np.float32))
+            kps.append(kp[:, :2].astype(np.float32))
+    proxy = create_proxy_representation(
+        jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(kps)), in_wh=wh)
+    scale = cfg.PROXY_REP_INPUT_WH / float(wh)
+    return {"proxy": proxy,
+            "joints2d": data["joints2d"] * scale,      # clean supervision
+            "target_pose": jnp.concatenate(
+                [data["global_orient"], data["body_pose"]], axis=1),
+            "target_betas": data["betas"],
+            "gt_cam_wp": data["cam_wp"]}
+
+
 def synth_fit_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
                     wh: int = 512, corrupt: bool = True,
                     jitter_frac: float = 0.02) -> dict:

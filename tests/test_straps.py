@@ -151,3 +151,35 @@ def test_regressor_weights_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     np.testing.assert_allclose(np.asarray(flat_a[0], np.float32),
                                np.asarray(flat_b[0], np.float32), atol=1e-3)
+
+
+@pytest.mark.slow
+def test_extracted_regressor_batch_contract():
+    """E2E fine-tune batches: proxies come from a real ProxyNet extractor
+    (deployment input distribution), supervision stays GT params."""
+    from soccerplayershapepose_tpu.models.perception import ProxyNet
+    from soccerplayershapepose_tpu.pipeline.extract import ProxyExtractor
+    from soccerplayershapepose_tpu.train.straps import \
+        extracted_regressor_batch
+
+    assets = synthesize_assets()
+    wh = 64
+    model = ProxyNet(with_iuv=False, channels=16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, wh, wh, 3)))
+    ex = ProxyExtractor(model, variables, wh=wh)
+    batch = extracted_regressor_batch(assets, ex, jax.random.PRNGKey(1),
+                                      b=2, wh=wh)
+    assert batch["proxy"].shape == (2, cfg.REGRESSOR_IMG_WH,
+                                    cfg.REGRESSOR_IMG_WH, 18)
+    assert batch["joints2d"].shape == (2, 17, 2)
+    assert batch["target_pose"].shape == (2, 24, 3, 3)
+    assert batch["target_betas"].shape == (2, 10)
+    # joints2d supervision is in the 512-proxy frame regardless of wh
+    assert float(jnp.abs(batch["joints2d"]).max()) > wh
+    # the batch feeds the distill train step unchanged
+    reg = SingleInputRegressor(in_channels=18)
+    state, _ = make_train_state(reg, jax.random.PRNGKey(2))
+    step = jax.jit(make_train_step(reg, __import__("optax").adam(1e-4)))
+    state2, metrics, _ = step(state, assets, batch)
+    assert np.isfinite(float(metrics["loss"]))
