@@ -69,17 +69,27 @@ def mfu_predict():
 
 
 def mfu_fit():
-    """Rasterizer kernel throughput vs a VPU-bound element estimate."""
+    """Rasterizer kernel throughput vs a VPU-bound element estimate.
+
+    Round-3 postmortem: the r3 record measured chunk=8 — the function
+    default, a configuration nothing ships — and reported 3.1% of VPU
+    peak (1.25 s/call vs the tuned 140 ms). This version measures the
+    configurations that actually run: BENCH_RASTER_CHUNK (default 86, the
+    official fit-bench config) with the visits estimate computed at the
+    SAME chunk size.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
     from soccerplayershapepose_tpu.render.pallas_raster import (
-        _sorted_tri_and_ranges, default_band_h, soft_silhouette_fast)
+        _band_chunk_bounds, _sorted_tri_and_ranges, default_band_h,
+        soft_silhouette_fast)
     from soccerplayershapepose_tpu.smpl import load_assets
 
     assets = load_assets()
     b = 22
     wh = int(os.environ.get("BENCH_RASTER_WH", "256"))
+    chunk = int(os.environ.get("BENCH_RASTER_CHUNK", "86"))
     rng = np.random.RandomState(0)
     v2d = jnp.asarray(
         (np.asarray(assets.v_template)[None, :, :2] * (wh * 0.45)
@@ -88,7 +98,7 @@ def mfu_fit():
 
     def loss(v):
         return jnp.sum(soft_silhouette_fast(v, assets.faces, wh,
-                                            band_h=band_h,
+                                            band_h=band_h, chunk=chunk,
                                             backface_cull=True) ** 2)
 
     g = jax.jit(jax.grad(loss))
@@ -103,11 +113,9 @@ def mfu_fit():
     dt = (time.perf_counter() - t0) / iters
 
     # Candidate (face, pixel) visits actually evaluated: sum over bands of
-    # (hi-lo)*chunk faces × band pixels — the work the banded kernel admits.
-    chunk = 8
+    # (hi-lo)*chunk faces × band pixels — the work the banded kernel admits
+    # at the SAME chunk size the timed kernel ran with.
     setup = _sorted_tri_and_ranges(v2d, assets.faces, chunk, True)
-    from soccerplayershapepose_tpu.render.pallas_raster import \
-        _band_chunk_bounds
     sigma_px = 1e-5 * (wh / 2.0) ** 2
     margin = (20.0 * sigma_px) ** 0.5 + 2.0
     n_bands = -(-wh // band_h)
@@ -118,10 +126,11 @@ def mfu_fit():
     visits = float(jnp.sum(jnp.maximum(hi - lo, 0))) * chunk * band_h * wh
 
     # ~70 VPU flops per (face, pixel) visit fwd + ~110 bwd (counted from the
-    # kernel bodies); v5e VPU ~ 4 TFLOP/s-class for f32 elementwise.
+    # kernel bodies); v5e VPU ~ 4 TOP/s-class for f32 elementwise.
     est_flops = visits * 180.0
     print(json.dumps({
-        "slice": "fit rasterizer fwd+bwd (22 players, %d^2)" % wh,
+        "slice": "fit rasterizer fwd+bwd (22 players, %d^2, chunk %d, "
+                 "band_h %d)" % (wh, chunk, band_h),
         "wall_s_per_call": round(dt, 4),
         "candidate_visits": visits,
         "est_vpu_flops_per_call": est_flops,
@@ -131,6 +140,83 @@ def mfu_fit():
     }))
 
 
+def mfu_predict_breakdown():
+    """Where the predict slice's wall time goes (VERDICT r3 #7).
+
+    Times each stage of the crop→mesh program as its own jitted
+    sub-program: proxy construction (512² silhouette resize + 17 Gaussian
+    heatmaps), ResNet-18+IEF regression, and SMPL LBS + projection. Stage
+    walls measured the same way as the full slice (chained scalar data
+    dependency, one host pull); the sum exceeds the fused wall because
+    fusion deletes intermediate HBM round-trips — the ratio column is
+    share of the SUM, the honest attribution of relative cost.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from soccerplayershapepose_tpu import config as cfg
+    from soccerplayershapepose_tpu.models.ief import default_initial_params
+    from soccerplayershapepose_tpu.ops.rotations import rot6d_to_rotmat
+    from soccerplayershapepose_tpu.pipeline.predict import build_predictor
+    from soccerplayershapepose_tpu.pipeline.proxy import \
+        create_proxy_representation
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.smpl.model import (smpl_forward,
+                                                      smpl_shape_only)
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    assets = load_assets()
+    regressor, params, fn = build_predictor(in_channels=18,
+                                            resnet_layers=18, dtype=dtype)
+    rng = np.random.RandomState(0)
+    sil = jnp.asarray((rng.rand(batch, 512, 512) > 0.8).astype(np.float32))
+    j2d = jnp.asarray(rng.uniform(64, 448, (batch, 17, 2)).astype(np.float32))
+
+    proxy_fn = jax.jit(lambda s, j: create_proxy_representation(
+        s, j, in_wh=512, out_wh=cfg.REGRESSOR_IMG_WH))
+    init = default_initial_params(assets.mean_pose_rot6d, assets.mean_shape)
+    reg_fn = jax.jit(lambda p, x: regressor.apply(p, x, init))
+
+    def lbs(a, pose6d, betas):
+        rm = rot6d_to_rotmat(pose6d.reshape(-1, cfg.NUM_JOINTS, 6))
+        out = smpl_forward(a, betas, rm[:, 1:], rm[:, :1])
+        return out.vertices, smpl_shape_only(a, betas)
+
+    lbs_fn = jax.jit(lbs)
+
+    def timed(f, *args, probe, iters=20):
+        f(*args)                       # compile
+        acc = jnp.zeros(())
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc = acc + probe(f(*args))
+        float(acc)
+        return (time.perf_counter() - t0) / iters
+
+    proxy = proxy_fn(sil, j2d)
+    cam_wp, pose6d, betas = reg_fn(params, proxy)
+    walls = {
+        "full_fused": timed(fn, params, assets, sil, j2d,
+                            probe=lambda o: o.vertices[0, 0, 0]),
+        "proxy_build": timed(proxy_fn, sil, j2d,
+                             probe=lambda o: o[0, 0, 0, 0]),
+        "regressor_ief": timed(reg_fn, params, proxy,
+                               probe=lambda o: o[0][0, 0]),
+        "lbs_project": timed(lbs_fn, assets, pose6d, betas,
+                             probe=lambda o: o[0][0, 0, 0]),
+    }
+    ssum = sum(v for k, v in walls.items() if k != "full_fused")
+    print(json.dumps({
+        "slice": "predict breakdown (batch %d, %s)" % (batch, dtype),
+        **{f"{k}_ms": round(v * 1e3, 3) for k, v in walls.items()},
+        "stage_sum_ms": round(ssum * 1e3, 3),
+        **{f"{k}_share_of_sum": round(v / ssum, 3)
+           for k, v in walls.items() if k != "full_fused"},
+    }))
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "predict"
-    (mfu_predict if mode == "predict" else mfu_fit)()
+    {"predict": mfu_predict, "fit": mfu_fit,
+     "predict-breakdown": mfu_predict_breakdown}[mode]()
