@@ -74,8 +74,11 @@ def _band_kernel(lo_ref, hi_ref, ymin_ref, ymax_ref, xmin_ref, xmax_ref,
                 pxr = px[None] - x0[:, None, None]
                 pyr = py[None] - y0e[:, None, None]
                 cross = ex * pyr - ey * pxr
-                ee = jnp.maximum(ex * ex + ey * ey, 1e-12)
-                tt = jnp.clip((pxr * ex + pyr * ey) / ee, 0.0, 1.0)
+                # Hoist the projection divide out of the pixel lanes: ee is
+                # per-FACE, so one reciprocal per face row replaces a VPU
+                # divide per (face, pixel) visit.
+                iee = 1.0 / jnp.maximum(ex * ex + ey * ey, 1e-12)
+                tt = jnp.clip((pxr * ex + pyr * ey) * iee, 0.0, 1.0)
                 dx = pxr - tt * ex
                 dy = pyr - tt * ey
                 d2 = dx * dx + dy * dy
@@ -484,8 +487,11 @@ def _band_bwd_kernel(lo_ref, hi_ref, ymin_ref, ymax_ref, xmin_ref,
                 pxr = px[None] - x0[:, None, None]
                 pyr = py[None] - y0e[:, None, None]
                 cross = ex * pyr - ey * pxr
-                ee = jnp.maximum(ex * ex + ey * ey, 1e-12)
-                tt = jnp.clip((pxr * ex + pyr * ey) / ee, 0.0, 1.0)
+                # Per-face reciprocal instead of a per-pixel divide (same
+                # hoist as the forward kernel; must match it so fwd/bwd
+                # agree on the clamped projection).
+                iee = 1.0 / jnp.maximum(ex * ex + ey * ey, 1e-12)
+                tt = jnp.clip((pxr * ex + pyr * ey) * iee, 0.0, 1.0)
                 rx = pxr - tt * ex
                 ry = pyr - tt * ey
                 return cross, rx * rx + ry * ry, tt, rx, ry
