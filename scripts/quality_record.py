@@ -1,4 +1,4 @@
-"""Assemble QUALITY_r03.json: held-out quality of the COMMITTED weight
+"""Assemble QUALITY_r{N}.json: held-out quality of the COMMITTED weight
 artifacts.
 
 Runs each evaluation cell crash-isolated (the axon TPU worker can fault
@@ -71,11 +71,14 @@ def run_cell(args, timeout_s=None, attempts=3):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--out", default=os.path.join(ROOT, "QUALITY_r03.json"))
+    p.add_argument("--out", default=os.path.join(ROOT, "QUALITY_r04.json"))
+    p.add_argument("--round", type=int, default=4)
     p.add_argument("--eval-batches", type=int, default=4)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--detector-weights",
-                   default="weights/detector_r03/weights_best.npz")
+                   default="weights/detector_256x448_f16.npz")
+    p.add_argument("--regressor-weights",
+                   default="weights/regressor_18ch_f16.npz")
     p.add_argument("--skip", default="",
                    help="comma list of cell names to skip")
     p.add_argument("--suffix", default="",
@@ -111,6 +114,16 @@ def main():
                           args.detector_weights] + common,
         "detector_hard_tta": ["eval-detector", "--weights",
                               args.detector_weights, "--flip-tta"] + common,
+        # Regressor artifact cells (clean proxies / training-noise proxies /
+        # full RGB->ProxyNet->regressor chain):
+        "regressor_clean": ["eval-regressor", "--wh", "512", "--weights",
+                            args.regressor_weights] + common,
+        "regressor_corrupt": ["eval-regressor", "--wh", "512",
+                              "--eval-corrupt", "--weights",
+                              args.regressor_weights] + common,
+        "regressor_e2e": ["eval-regressor", "--wh", "256", "--weights",
+                          args.regressor_weights, "--via-proxynet",
+                          "weights/proxynet_256_f16.npz"] + common,
     }
 
     # Seed from an existing record so a --skip rerun (e.g. merging the
@@ -120,7 +133,7 @@ def main():
     if os.path.exists(args.out):
         with open(args.out) as f:
             record = json.load(f)
-    record.update({"round": 3, "eval_batches": args.eval_batches,
+    record.update({"round": args.round, "eval_batches": args.eval_batches,
                    "batch": args.batch,
                    "note": ("held-out synthetic eval (seeds disjoint from "
                             "training, train/quality.py); 'hard' = domain "
