@@ -32,6 +32,18 @@ def _add_fit_args(p: argparse.ArgumentParser):
                    help="SMPL asset dir (synthetic model if absent)")
     p.add_argument("--checkpoint", default=None,
                    help="reference straps .tar checkpoint to import")
+    # 3D-regularization knobs (defaults off = reference-parity free-rotmat
+    # 2D fit; see FitConfig + weights/fit3d_sweep_r04/ for measured GT-3D
+    # effects of each):
+    p.add_argument("--conf-weight", action="store_true",
+                   help="weight the joints2D fit loss by the keypoint "
+                        "score channel of *_j2d.xml")
+    p.add_argument("--betas-prior", type=float, default=0.0)
+    p.add_argument("--pose-prior", type=float, default=0.0)
+    p.add_argument("--ortho-prior", type=float, default=0.0,
+                   help="rotation-manifold prior weight on the free 3x3s")
+    p.add_argument("--silh-warmup", type=int, default=0,
+                   help="linear silhouette-loss warmup iterations")
 
 
 def _build_fit_cfg(args, default_iters, default_lr):
@@ -44,6 +56,11 @@ def _build_fit_cfg(args, default_iters, default_lr):
         kw["silhouette_metrics"] = False
     if args.render_wh:
         kw["render_wh"] = args.render_wh
+    kw["joint_conf_weighting"] = args.conf_weight
+    kw["betas_prior"] = args.betas_prior
+    kw["pose_prior"] = args.pose_prior
+    kw["rot_ortho_prior"] = args.ortho_prior
+    kw["silh_warmup_iters"] = args.silh_warmup
     return FitConfig(**kw)
 
 
