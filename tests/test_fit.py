@@ -318,3 +318,80 @@ def test_multi_view_fit_with_mesh_matches_unsharded():
     np.testing.assert_allclose(np.asarray(res_m.joint_err),
                                np.asarray(res_p.joint_err),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conf_weighting_ignores_zero_score_joints():
+    """A corrupted joint with score 0 must not pull the fit; with score 1
+    and no weighting it does (FitConfig.joint_conf_weighting)."""
+    assets = synthesize_assets()
+    rng = np.random.RandomState(3)
+    b = 2
+    rotmats, betas, cam, j2d = _make_target(assets, rng, b)
+    init = _perturbed_init(rotmats, betas, cam, rng)
+    # corrupt one joint far away
+    j2d_bad = np.asarray(j2d).copy()
+    j2d_bad[:, 5] += 300.0
+    scores = np.ones((b, 17, 1), np.float32)
+    scores[:, 5] = 0.0
+    targets = jnp.asarray(np.concatenate([j2d_bad, scores], -1),
+                          jnp.float32)
+
+    sil = jnp.zeros((b, 512, 512))
+    base = dict(iters=12, lr=0.01, use_silhouette=False,
+                silhouette_metrics=False)
+    res_w = single_view_fit(assets, init, sil, targets,
+                            FitConfig(joint_conf_weighting=True, **base))
+    res_u = single_view_fit(assets, init, sil, targets,
+                            FitConfig(joint_conf_weighting=False, **base))
+
+    # err metric is against targets incl. the bad joint; compare against
+    # the CLEAN joints instead: weighted fit should track them better.
+    def clean_err(res):
+        out = smpl_forward(assets, res.betas, res.body_pose,
+                           res.global_orient)
+        p = orthographic_project(out.joints, res.cam_wp)
+        p = undo_keypoint_normalisation(
+            p[:, jnp.asarray(cfg.SMPL_TO_KPRCNN_MAP)], 512)
+        good = [j for j in range(17) if j != 5]
+        return float(jnp.linalg.norm(
+            p[:, good] - j2d[:, good], axis=-1).mean())
+
+    assert clean_err(res_w) < clean_err(res_u)
+
+
+def test_betas_prior_shrinks_shape_drift():
+    assets = synthesize_assets()
+    rng = np.random.RandomState(4)
+    b = 2
+    rotmats, betas, cam, j2d = _make_target(assets, rng, b)
+    init = _perturbed_init(rotmats, betas, cam, rng)
+    sil = jnp.zeros((b, 512, 512))
+    base = dict(iters=10, lr=0.02, use_silhouette=False,
+                silhouette_metrics=False)
+    res_p = single_view_fit(assets, init, sil, j2d,
+                            FitConfig(betas_prior=1.0, **base))
+    res_0 = single_view_fit(assets, init, sil, j2d, FitConfig(**base))
+    # Strong prior keeps ||betas|| smaller than the unregularized fit.
+    assert float(jnp.sum(res_p.betas ** 2)) \
+        < float(jnp.sum(res_0.betas ** 2))
+
+
+def test_ortho_prior_reduces_rotmat_shear():
+    assets = synthesize_assets()
+    rng = np.random.RandomState(5)
+    b = 2
+    rotmats, betas, cam, j2d = _make_target(assets, rng, b)
+    init = _perturbed_init(rotmats, betas, cam, rng)
+    sil = jnp.zeros((b, 512, 512))
+    base = dict(iters=15, lr=0.05, use_silhouette=False,
+                silhouette_metrics=False)
+
+    def shear(res):
+        r = jnp.concatenate([res.global_orient, res.body_pose], 1)
+        rtr = jnp.einsum("bjki,bjkl->bjil", r, r)
+        return float(jnp.sum((rtr - jnp.eye(3)) ** 2))
+
+    res_o = single_view_fit(assets, init, sil, j2d,
+                            FitConfig(rot_ortho_prior=10.0, **base))
+    res_0 = single_view_fit(assets, init, sil, j2d, FitConfig(**base))
+    assert shear(res_o) < shear(res_0)
