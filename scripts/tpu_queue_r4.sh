@@ -39,11 +39,13 @@ stage() {  # stage <name> <timeout_s> <cmd...>
 mkdir -p weights/fit3d_sweep_r04
 
 # --- A. Corrected detector baseline (same artifact, r4 accounting) ---------
+if [ ! -s weights/detector_r4acct_baseline.json ]; then
 stage detector-baseline-r4acct 900 \
     python scripts/train_perception.py eval-detector \
         --weights weights/detector_256x448_f16.npz \
         --eval-batches 4 --batch 16 \
         --json weights/detector_r4acct_baseline.json
+fi
 
 # --- B. Detector continuation with visible-fill gating ----------------------
 if [ ! -f weights/detector_r04/state.npz ]; then
@@ -54,7 +56,7 @@ fi
 stage detector-continue 10800 \
     python scripts/train_perception.py drive-detector --steps 7000 \
         --batch 8 --h 256 --w 448 --players 8 --segment 400 \
-        --save-every 100 --eval-batches 4 \
+        --save-every 100 --eval-batches 4 --segment-timeout 900 \
         --ckpt-dir weights/detector_r04
 
 # Improve-gated repack: compare on the SAME eval set (batch 8, the drive
@@ -123,7 +125,7 @@ stage regressor-e2e-finetune 10800 \
         --batch 16 --wh 256 --lr 3e-5 --segment 250 --save-every 125 \
         --eval-batches 2 \
         --via-proxynet weights/proxynet_256_f16.npz --p-real 0.5 \
-        --finetune-from weights/regressor_warm \
+        --finetune-from weights/regressor_warm --segment-timeout 900 \
         --ckpt-dir weights/regressor_r04
 
 if [ -f weights/regressor_r04/weights_last.npz ]; then
