@@ -198,8 +198,13 @@ def bench_track():
         cam_wp=jnp.tile(jnp.array([[[0.9, 0.0, 0.0]]]), (b, t, 1)))
     sil = jnp.asarray((rng.rand(b, t, 512, 512) > 0.9).astype(np.float32))
     j2d = jnp.asarray(rng.uniform(100, 400, (b, t, 17, 2)).astype(np.float32))
-    fit_cfg = FitConfig(iters=100, render_wh=256, iters_per_call=25,
-                        faces_per_chunk=86)
+    # Conservative crash envelope: this program fits b*t = 44 rows — twice
+    # the 22-row fit bench — and large batches need SMALL segments and
+    # face chunks to stay inside the worker's fault envelope
+    # (docs/PERF.md). Costs ~5% wall vs the tuned 22-row settings; a
+    # number that lands beats a faster one that faults the worker.
+    fit_cfg = FitConfig(iters=100, render_wh=256, iters_per_call=10,
+                        faces_per_chunk=43)
 
     res = track_fit(assets, init, sil, j2d, fit_cfg)          # compile
     float(res.joint_err.mean())
