@@ -47,7 +47,8 @@ def _run(qr, monkeypatch, tmp_path, argv, cell_result):
 
 ALL_CELLS = ["proxynet_256_hard", "proxynet_256_easy",
              "proxynet_256_hard_tta", "proxynet_512_hard",
-             "proxynet_512_hard_tta", "detector_hard", "detector_hard_tta"]
+             "proxynet_512_hard_tta", "detector_hard", "detector_hard_tta",
+             "regressor_clean", "regressor_corrupt", "regressor_e2e"]
 
 
 def test_merge_preserves_skipped_cells(qr, monkeypatch, tmp_path):
