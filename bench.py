@@ -397,24 +397,32 @@ def main():
 
     import subprocess
     record = None
-    for attempt in range(3):
+    attempt = 0
+    # Retry until the budget floor, not a fixed count: a crash-looping
+    # worker can eat several 2-minute probe-failure attempts (rc=3, empty
+    # stdout) and then come back — measured in the r4 dress rehearsal,
+    # where 3 fixed attempts burned out in 6 min and left 13 min of budget
+    # unused (the r3 official record died the same way).
+    while record is None:
+        attempt += 1
         cap = min(float(os.environ.get("BENCH_HEADLINE_CAP", "480")),
                   _remaining() - 300.0)
         if cap < 120:
             break
         env = dict(os.environ, BENCH_MODE="headline",
                    BENCH_PROBE_BUDGET="120")
-        stdout = ""
+        stdout, errtail = "", ""
         try:
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True,
                                  timeout=cap)
             stdout = out.stdout
+            errtail = (out.stderr or "").strip()[-200:]
         except subprocess.TimeoutExpired as e:
             stdout = e.stdout or ""
             if isinstance(stdout, bytes):
                 stdout = stdout.decode(errors="replace")
-            print(f"# bench: headline attempt {attempt + 1} hit its "
+            print(f"# bench: headline attempt {attempt} hit its "
                   f"{cap:.0f}s cap", file=sys.stderr, flush=True)
         except Exception as e:
             print(f"# bench: headline attempt failed: {type(e).__name__}",
@@ -424,6 +432,10 @@ def main():
         if lines:
             record = json.loads(lines[-1])
             break
+        if errtail:
+            print(f"# bench: headline attempt {attempt} produced no "
+                  f"record; stderr tail: {errtail}",
+                  file=sys.stderr, flush=True)
     if record is None:
         # Still print a parseable record: a missing value is honest, a
         # silent rc!=0 would lose every downstream number too.
