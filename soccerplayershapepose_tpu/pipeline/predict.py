@@ -60,6 +60,11 @@ def predict_smpl(regressor: SingleInputRegressor,
     proxy = create_proxy_representation(
         silhouette, joints2d, in_wh=proxy_wh, out_wh=cfg.REGRESSOR_IMG_WH,
         iuv=iuv, include_silhouette=regressor.in_channels != 20)
+    # The encoder's first conv computes in regressor.dtype, so casting the
+    # proxy at the source is value-identical — but it lets XLA emit the
+    # (B, 256, 256, 18) tensor in bf16 straight out of the heatmap fusion,
+    # halving the HBM round-trip that dominates the proxy-build slice.
+    proxy = proxy.astype(regressor.dtype)
 
     init = default_initial_params(assets.mean_pose_rot6d, assets.mean_shape)
     cam_wp, pose6d, betas = regressor.apply(params, proxy, init)

@@ -27,6 +27,11 @@ def resize_nearest(images: jnp.ndarray, out_wh: int) -> jnp.ndarray:
     Matches ``cv2.resize(..., interpolation=cv2.INTER_NEAREST)`` for integer
     downscale factors (source index = floor(dst · in/out))."""
     in_h, in_w = images.shape[-2], images.shape[-1]
+    if in_h % out_wh == 0 and in_w % out_wh == 0:
+        # Integer downscale: floor(i·in/out) = i·(in/out), so a strided
+        # slice is bit-identical to the gather below and lowers to a cheap
+        # lax.slice instead of a TPU gather (the 512→256 hot path).
+        return images[..., ::in_h // out_wh, ::in_w // out_wh]
     ys = (jnp.arange(out_wh) * (in_h / out_wh)).astype(jnp.int32)
     xs = (jnp.arange(out_wh) * (in_w / out_wh)).astype(jnp.int32)
     return images[..., ys[:, None], xs[None, :]]

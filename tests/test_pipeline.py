@@ -18,6 +18,22 @@ def test_resize_nearest_downscale():
     np.testing.assert_array_equal(out, [[0, 2], [8, 10]])
 
 
+def test_resize_nearest_strided_matches_gather():
+    # The integer-downscale fast path (strided slice) must be bit-identical
+    # to the general floor(dst·in/out) gather it replaces.
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(2, 512, 512).astype(np.float32))
+    fast = np.asarray(resize_nearest(img, 256))
+    ys = (np.arange(256) * 2.0).astype(np.int32)
+    np.testing.assert_array_equal(fast, np.asarray(img)[:, ys[:, None],
+                                                        ys[None, :]])
+    # non-integer ratio still uses the gather path
+    odd = np.asarray(resize_nearest(img, 100))
+    ys = (np.arange(100) * 5.12).astype(np.int32)
+    np.testing.assert_array_equal(odd, np.asarray(img)[:, ys[:, None],
+                                                       ys[None, :]])
+
+
 def test_proxy_representation_layout():
     rng = np.random.RandomState(0)
     sil = (rng.rand(2, 512, 512) > 0.5).astype(np.float32)
