@@ -389,7 +389,8 @@ def _eval_fit3d(args):
         joint_conf_weighting=args.conf_weight,
         betas_prior=args.betas_prior, pose_prior=args.pose_prior,
         rot_ortho_prior=args.ortho_prior,
-        silh_warmup_iters=args.silh_warmup)
+        silh_warmup_iters=args.silh_warmup,
+        joints2d_scale=args.joints2d_scale)
     out = evaluate_fit_3d(model, variables["params"],
                           variables["batch_stats"], assets,
                           n_batches=args.eval_batches, batch=args.batch,
@@ -400,7 +401,10 @@ def _eval_fit3d(args):
                         "betas_prior": args.betas_prior,
                         "pose_prior": args.pose_prior,
                         "ortho_prior": args.ortho_prior,
-                        "silh_warmup": args.silh_warmup}
+                        "silh_warmup": args.silh_warmup,
+                        "joints2d_scale": args.joints2d_scale,
+                        "prior_scale": "relative (r4c: anchored to "
+                                       "stop_grad|total|)"}
     print(json.dumps(out), flush=True)
     if args.json:
         with open(args.json, "w") as f:
@@ -539,6 +543,7 @@ def main():
     p.add_argument("--betas-prior", type=float, default=0.0)
     p.add_argument("--pose-prior", type=float, default=0.0)
     p.add_argument("--ortho-prior", type=float, default=0.0)
+    p.add_argument("--joints2d-scale", type=float, default=1.0)
     p.add_argument("--silh-warmup", type=int, default=0,
                    help="eval-fit3d: silhouette-loss linear warmup iters")
     p.add_argument("--no-domain-rand", action="store_true",

@@ -44,6 +44,10 @@ def _add_fit_args(p: argparse.ArgumentParser):
                    help="rotation-manifold prior weight on the free 3x3s")
     p.add_argument("--silh-warmup", type=int, default=0,
                    help="linear silhouette-loss warmup iterations")
+    p.add_argument("--joints2d-scale", type=float, default=1.0,
+                   help="multiplier on the raw joints2D fit loss; ~1e6 "
+                        "puts joint evidence on par with the reference's "
+                        "1e6-weighted silhouette sum (FitConfig docs)")
 
 
 def _build_fit_cfg(args, default_iters, default_lr):
@@ -61,6 +65,7 @@ def _build_fit_cfg(args, default_iters, default_lr):
     kw["pose_prior"] = args.pose_prior
     kw["rot_ortho_prior"] = args.ortho_prior
     kw["silh_warmup_iters"] = args.silh_warmup
+    kw["joints2d_scale"] = args.joints2d_scale
     return FitConfig(**kw)
 
 

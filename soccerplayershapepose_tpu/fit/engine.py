@@ -87,16 +87,39 @@ class FitConfig:
     # shear in the free 3x3s and from depth-ambiguous pose drift. These
     # priors keep the iterate on/near the rotation manifold and near the
     # regressor init so 2D refinement translates into 3D gains.
+    #
+    # SCALE CALIBRATION (measured, r4): the reference-parity loss weights
+    # put the silhouette term at exp(-lv)=1e6 TIMES a raw pixel-SUM BCE
+    # (FITTING_INIT_LOSS_WEIGHTS quirk) — total ~1e9 — so any
+    # absolutely-weighted prior (and the joints2D term itself, ~O(1)) is
+    # numerically DEAD: its per-step effect on the parameters lands below
+    # f32 ulp and the trajectory is bit-identical to the unregularized fit
+    # (verified: betas_prior=1e-3 and conf weighting produced
+    # bit-identical 100-iter GT-3D cells). The priors are therefore
+    # RELATIVE weights: each prior term is multiplied by
+    # stop_gradient(|total before priors|), so betas_prior=0.01 means "a
+    # unit of mean Σβ² costs 1% of the current main loss" at every
+    # iterate, independent of the 1e6 quirk.
+    #
     # Weight the joints2D loss per joint by the keypoint score channel
     # (targets (B,17,3); scores exist in every deployment proxy,
     # *_j2d.xml (17,3) — the reference drops them, player_recon.py:1217).
+    # NOTE: with the silhouette loss on at reference weights this only
+    # matters together with joints2d_scale (see above).
     joint_conf_weighting: bool = False
-    # w * mean(sum(betas^2)): betas are N(0,1) in SMPL's PCA space.
+    # w_rel * |total| * mean(sum(betas^2)): betas are N(0,1) in SMPL's PCA
+    # space.
     betas_prior: float = 0.0
-    # w * mean((body_pose - frozen["pose_prior_ref"])^2): stay near init.
+    # w_rel * |total| * mean((body_pose - frozen["pose_prior_ref"])^2).
     pose_prior: float = 0.0
-    # w * mean(||R^T R - I||_F^2) over assembled rotmats.
+    # w_rel * |total| * mean(||R^T R - I||_F^2) over assembled rotmats.
     rot_ortho_prior: float = 0.0
+    # Multiplier on the raw joints2D task loss (task_scales path), BEFORE
+    # uncertainty weighting. 1.0 = reference parity (joints numerically
+    # irrelevant next to the 1e6-weighted silhouette SUM); ~1e6 puts joint
+    # evidence on equal footing with the silhouette so keypoints (and
+    # conf weighting) can steer the fit toward 3D-consistent poses.
+    joints2d_scale: float = 1.0
     # Linear warm-up of the silhouette loss over this many iterations
     # (joints establish pose/cam before the dense term bites).
     silh_warmup_iters: int = 0
@@ -246,25 +269,35 @@ def _segment_runner(assemble, fit_cfg: FitConfig, group_size: int):
             if fit_cfg.use_silhouette:
                 outputs["silhouette"] = ev["pred_sil"] * row_mask[:, None, None]
                 labels["silhouette"] = ev["target_sil"] * row_mask[:, None, None]
-            task_scales = None
+            task_scales = {}
             if fit_cfg.silh_warmup_iters and fit_cfg.use_silhouette:
-                task_scales = {"silhouette": jnp.minimum(
-                    (it + 1.0) / fit_cfg.silh_warmup_iters, 1.0)}
+                task_scales["silhouette"] = jnp.minimum(
+                    (it + 1.0) / fit_cfg.silh_warmup_iters, 1.0)
+            if fit_cfg.joints2d_scale != 1.0:
+                task_scales["joints2D"] = fit_cfg.joints2d_scale
             total, _ = multi_task_loss(log_vars, outputs, labels, loss_cfg,
-                                       task_scales)
-            if fit_cfg.betas_prior:
-                total = total + fit_cfg.betas_prior * jnp.mean(
-                    jnp.sum(betas ** 2, axis=-1) * row_mask)
-            if fit_cfg.pose_prior and "pose_prior_ref" in frozen:
-                dev = (body_pose - frozen["pose_prior_ref"]) ** 2
-                total = total + fit_cfg.pose_prior * jnp.mean(
-                    jnp.sum(dev, axis=(-3, -2, -1)) * row_mask)
-            if fit_cfg.rot_ortho_prior:
-                rots = jnp.concatenate([global_orient, body_pose], axis=1)
-                rtr = jnp.einsum("bjki,bjkl->bjil", rots, rots)
-                dev = (rtr - jnp.eye(3, dtype=rots.dtype)) ** 2
-                total = total + fit_cfg.rot_ortho_prior * jnp.mean(
-                    jnp.sum(dev, axis=(-2, -1)).mean(axis=-1) * row_mask)
+                                       task_scales or None)
+            # Self-calibrating prior scale (see FitConfig): the reference-
+            # parity loss magnitude is ~1e9, so absolute prior weights
+            # vanish below f32 update resolution; anchor them to the
+            # current main-loss magnitude instead.
+            if fit_cfg.betas_prior or fit_cfg.rot_ortho_prior or (
+                    fit_cfg.pose_prior and "pose_prior_ref" in frozen):
+                mag = jax.lax.stop_gradient(jnp.abs(total)) + 1e-8
+                if fit_cfg.betas_prior:
+                    total = total + fit_cfg.betas_prior * mag * jnp.mean(
+                        jnp.sum(betas ** 2, axis=-1) * row_mask)
+                if fit_cfg.pose_prior and "pose_prior_ref" in frozen:
+                    dev = (body_pose - frozen["pose_prior_ref"]) ** 2
+                    total = total + fit_cfg.pose_prior * mag * jnp.mean(
+                        jnp.sum(dev, axis=(-3, -2, -1)) * row_mask)
+                if fit_cfg.rot_ortho_prior:
+                    rots = jnp.concatenate([global_orient, body_pose],
+                                           axis=1)
+                    rtr = jnp.einsum("bjki,bjkl->bjil", rots, rots)
+                    dev = (rtr - jnp.eye(3, dtype=rots.dtype)) ** 2
+                    total = total + fit_cfg.rot_ortho_prior * mag * jnp.mean(
+                        jnp.sum(dev, axis=(-2, -1)).mean(axis=-1) * row_mask)
             return total, ev
 
         (_, ev), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)

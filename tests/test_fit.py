@@ -395,3 +395,68 @@ def test_ortho_prior_reduces_rotmat_shear():
                             FitConfig(rot_ortho_prior=10.0, **base))
     res_0 = single_view_fit(assets, init, sil, j2d, FitConfig(**base))
     assert shear(res_o) < shear(res_0)
+
+
+def _silh_fixture(wh=64):
+    """GT-rendered silhouette + joints with a perturbed init, at a tiny
+    resolution so the full silhouette loss path runs fast on CPU."""
+    from soccerplayershapepose_tpu.render.softras import render_silhouette
+    from soccerplayershapepose_tpu.ops.camera import (
+        weak_perspective_to_translation)
+    assets = synthesize_assets()
+    rng = np.random.RandomState(7)
+    b = 2
+    rotmats, betas, cam, _ = _make_target(assets, rng, b)
+    out = smpl_forward(assets, betas, rotmats[:, 1:], rotmats[:, :1])
+    j2d = orthographic_project(out.joints, cam)
+    j2d = undo_keypoint_normalisation(
+        j2d[:, jnp.asarray(cfg.SMPL_TO_KPRCNN_MAP)], wh)
+    tr = weak_perspective_to_translation(cam, cfg.FOCAL_LENGTH, wh)
+    sil = (render_silhouette(out.vertices, tr, assets.faces, wh,
+                             cfg.FOCAL_LENGTH, render_wh=wh,
+                             use_pallas=False) > 0.5).astype(jnp.float32)
+    init = _perturbed_init(rotmats, betas, cam, rng)
+    scores = np.linspace(0.1, 0.95, 17, dtype=np.float32)
+    j2d3 = jnp.concatenate(
+        [j2d, jnp.tile(jnp.asarray(scores)[None, :, None], (b, 1, 1))], -1)
+    return assets, init, sil, j2d3, wh
+
+
+def test_priors_not_flushed_under_silhouette_loss():
+    """Regression (r4): with the reference-parity 1e6-weighted pixel-SUM
+    silhouette loss (total ~1e9), ABSOLUTE prior weights flushed below f32
+    update resolution — betas_prior=1e-3 produced bit-identical 100-iter
+    GT-3D cells. The relative (|total|-anchored) priors must actually move
+    the trajectory at small nominal weights."""
+    assets, init, sil, j2d3, wh = _silh_fixture()
+    base = dict(iters=6, lr=0.01, proxy_wh=wh, render_wh=wh,
+                use_pallas=False)
+    res_0 = single_view_fit(assets, init, sil, j2d3, FitConfig(**base))
+    res_b = single_view_fit(assets, init, sil, j2d3,
+                            FitConfig(betas_prior=0.05, **base))
+    assert float(jnp.sum(res_b.betas ** 2)) < float(jnp.sum(res_0.betas ** 2))
+
+
+def test_joints2d_scale_gives_joint_evidence_traction():
+    """Regression (r4): at reference weights the joints2D term (~O(1)) is
+    numerically dead next to the 1e6-weighted silhouette sum — conf
+    weighting was bit-identical to base. joints2d_scale rebalances; with it
+    the trajectory must (a) differ from base and (b) make conf weighting
+    itself have an effect."""
+    assets, init, sil, j2d3, wh = _silh_fixture()
+    base = dict(iters=6, lr=0.01, proxy_wh=wh, render_wh=wh,
+                use_pallas=False)
+
+    def sig(res):
+        return (np.asarray(res.betas), np.asarray(res.cam_wp))
+
+    res_0 = single_view_fit(assets, init, sil, j2d3, FitConfig(**base))
+    res_j = single_view_fit(assets, init, sil, j2d3,
+                            FitConfig(joints2d_scale=1e6, **base))
+    assert any(not np.array_equal(a, b) for a, b in zip(sig(res_0),
+                                                        sig(res_j)))
+    res_jc = single_view_fit(
+        assets, init, sil, j2d3,
+        FitConfig(joints2d_scale=1e6, joint_conf_weighting=True, **base))
+    assert any(not np.array_equal(a, b) for a, b in zip(sig(res_j),
+                                                        sig(res_jc)))
