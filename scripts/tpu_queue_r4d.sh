@@ -79,12 +79,14 @@ if best:
     print(knobs.get(best, ""))
 EOF
 )
-if [ -n "$BESTARGS" ] && [ ! -s weights/fit3d_benchmark_r04.json ]; then
+# (distinct output: r4c's tail writes fit3d_benchmark_r04.json with the
+# pre-fix knobs; this is the fixed-knob record)
+if [ -n "$BESTARGS" ] && [ ! -s weights/fit3d_benchmark_r04d.json ]; then
     stage fit3d-final 2400 \
         python scripts/train_perception.py eval-fit3d \
             --weights weights/regressor_18ch_f16.npz \
             --eval-batches 2 --batch 8 --wh 512 --fit-iters 100 \
-            --json weights/fit3d_benchmark_r04.json $BESTARGS
+            --json weights/fit3d_benchmark_r04d.json $BESTARGS
 fi
 
 # --- 2. Bench dress rehearsal -------------------------------------------------
