@@ -251,12 +251,12 @@ def _secondary_subprocess(modes, cap_s: float, reserve_s: float = 45.0):
               f"exhausted, {_remaining():.0f}s left)",
               file=sys.stderr, flush=True)
         return {}
-    stdout = ""
+    stdout, stderr = "", ""
     try:
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              timeout=timeout_s)
-        stdout = out.stdout
+        stdout, stderr = out.stdout, out.stderr or ""
     except subprocess.TimeoutExpired as e:
         stdout = e.stdout or b""
         if isinstance(stdout, bytes):
@@ -266,7 +266,20 @@ def _secondary_subprocess(modes, cap_s: float, reserve_s: float = 45.0):
     except Exception as e:
         print(f"# bench: secondary run failed: {type(e).__name__}",
               file=sys.stderr, flush=True)
-    return _parse_mode_lines(stdout)
+    # Forward the child's own diagnostics: a mode that FAILS (vs times out)
+    # otherwise vanishes silently — the r4 rehearsal lost track+frame this
+    # way, with the explanation buried in the captured child stderr.
+    found = _parse_mode_lines(stdout)
+    missing = [m for m in modes if m not in found]
+    if missing and stderr:
+        for ln in stderr.splitlines():
+            if ln.startswith("# bench:"):
+                print(ln, file=sys.stderr, flush=True)
+        tail = [ln for ln in stderr.splitlines()
+                if ln.strip() and not ln.startswith("# bench:")][-6:]
+        for ln in tail:
+            print(f"# bench[child-stderr]: {ln}", file=sys.stderr, flush=True)
+    return found
 
 
 def bench_secondary():
@@ -282,6 +295,15 @@ def bench_secondary():
     for mode in os.environ.get("BENCH_SECONDARY", "").split(","):
         fn, env = runners.get(mode, (None, None))
         if fn is None:
+            continue
+        # Re-probe between modes: a heavy fit backward can crash the
+        # worker AFTER its own number lands, and every later mode then
+        # fails fast on the dead device (r4 rehearsal: fit256 landed,
+        # track/frame/fit512 all lost). The probe burns budget only when
+        # the device is actually down.
+        if not _wait_for_device(min(300.0, max(_remaining() - 120.0, 0.0))):
+            print(f"# bench: device unreachable before {mode}; skipping",
+                  file=sys.stderr, flush=True)
             continue
         os.environ.update(env)
         buf = io.StringIO()

@@ -46,6 +46,16 @@ def mfu_predict():
 
     out = fn(params, assets, sil, j2d)
     float(out.vertices.sum())
+    # Residual warm loop (matches bench.py): on this tunnel the FIRST
+    # post-compile executions carry a ~1 s one-time cost (device program
+    # upload); without this, a 20-iter average reads ~56 ms/call for a
+    # 9.5 ms/call program (r4 postmortem — the r3/r4c "6-7% MFU predict"
+    # records were this artifact, not device time).
+    acc = jnp.zeros(())
+    for _ in range(3):
+        o = fn(params, assets, sil, j2d)
+        acc = acc + o.vertices[0, 0, 0]
+    float(acc)
     iters = 20
     t0 = time.perf_counter()
     acc = jnp.zeros(())
@@ -71,12 +81,13 @@ def mfu_predict():
 def mfu_fit():
     """Rasterizer kernel throughput vs a VPU-bound element estimate.
 
-    Round-3 postmortem: the r3 record measured chunk=8 — the function
-    default, a configuration nothing ships — and reported 3.1% of VPU
-    peak (1.25 s/call vs the tuned 140 ms). This version measures the
-    configurations that actually run: BENCH_RASTER_CHUNK (default 86, the
-    official fit-bench config) with the visits estimate computed at the
-    SAME chunk size.
+    Measures the configuration the fit engine actually ships —
+    FitConfig.pallas_chunk (8) — with the visits estimate computed at the
+    SAME chunk size; BENCH_RASTER_CHUNK overrides for sweep comparisons.
+    (r4 postmortem: this briefly defaulted to 86 on the belief that the
+    tuned sweep config shipped; the engine hardcoded 8, and chunk 86
+    crashed the backward kernel's face-block tiling before the lcm fix in
+    pallas_raster._pallas_bwd.)
     """
     import jax
     import jax.numpy as jnp
@@ -89,7 +100,7 @@ def mfu_fit():
     assets = load_assets()
     b = 22
     wh = int(os.environ.get("BENCH_RASTER_WH", "256"))
-    chunk = int(os.environ.get("BENCH_RASTER_CHUNK", "86"))
+    chunk = int(os.environ.get("BENCH_RASTER_CHUNK", "8"))
     rng = np.random.RandomState(0)
     v2d = jnp.asarray(
         (np.asarray(assets.v_template)[None, :, :2] * (wh * 0.45)
@@ -174,7 +185,8 @@ def mfu_predict_breakdown():
     j2d = jnp.asarray(rng.uniform(64, 448, (batch, 17, 2)).astype(np.float32))
 
     proxy_fn = jax.jit(lambda s, j: create_proxy_representation(
-        s, j, in_wh=512, out_wh=cfg.REGRESSOR_IMG_WH))
+        s, j, in_wh=512, out_wh=cfg.REGRESSOR_IMG_WH,
+        dtype=regressor.dtype))  # the dtype the shipped predict path builds at
     init = default_initial_params(assets.mean_pose_rot6d, assets.mean_shape)
     reg_fn = jax.jit(lambda p, x: regressor.apply(p, x, init))
 
@@ -187,6 +199,10 @@ def mfu_predict_breakdown():
 
     def timed(f, *args, probe, iters=20):
         f(*args)                       # compile
+        acc = jnp.zeros(())            # warm: absorb the one-time program-
+        for _ in range(3):             # upload cost (see mfu_predict note)
+            acc = acc + probe(f(*args))
+        float(acc)
         acc = jnp.zeros(())
         t0 = time.perf_counter()
         for _ in range(iters):

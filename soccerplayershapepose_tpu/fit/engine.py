@@ -74,6 +74,11 @@ class FitConfig:
     # Rasterizer faces per scan step: bounds the (B, chunk, pixels) loss-path
     # intermediates (backward memory scales with it).
     faces_per_chunk: int = 16
+    # Pallas kernels' face-chunk size (band pruning granularity; distinct
+    # knob from faces_per_chunk, which batches the XLA path's scan). 8 is
+    # the long-shipped default; the tune_raster sweep explores larger
+    # chunks (fewer, coarser band-overlap tests).
+    pallas_chunk: int = 8
     # Drop back faces before rasterizing. Closed-mesh silhouettes come from
     # front faces alone (the reference NMR is z-buffered, so back faces never
     # contributed there either); composes with the Pallas kernels via the
@@ -188,7 +193,8 @@ def evaluate_fit(assets: SMPLAssets, body_pose, global_orient, betas, cam_wp,
                                      render_wh=fit_cfg.render_wh,
                                      use_pallas=use_pallas,
                                      backface_cull=fit_cfg.backface_cull,
-                                     faces_per_chunk=fit_cfg.faces_per_chunk)
+                                     faces_per_chunk=fit_cfg.faces_per_chunk,
+                                     pallas_chunk=fit_cfg.pallas_chunk)
         target_sil = target_silhouette
         if fit_cfg.render_wh != target_silhouette.shape[-1]:
             # Area-average (box filter) downsample of the binary target, NOT

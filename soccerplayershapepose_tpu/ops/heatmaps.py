@@ -64,3 +64,43 @@ def joints2d_to_gaussian_heatmaps(joints2d: jnp.ndarray, img_wh: int,
     # Separable outer product: exp(-(ux²+uy²)/2σ²) = exp(-ux²/2σ²)·exp(-uy²/2σ²)
     hm = (profile_y[:, :, None] * profile_x[:, None, :]) * joint_ok[:, None, None]
     return hm.reshape(joints2d.shape[:-1] + (img_wh, img_wh))
+
+
+def joints2d_to_gaussian_heatmaps_nhwc(joints2d: jnp.ndarray, img_wh: int,
+                                       std: int = cfg.HEATMAP_STD,
+                                       dtype=jnp.float32) -> jnp.ndarray:
+    """Channels-last variant of :func:`joints2d_to_gaussian_heatmaps`.
+
+    Emits (..., img_wh, img_wh, N) directly — the layout the proxy
+    representation / regressor conv consume — so the hot predict path never
+    materialises the (..., N, H, W) tensor only to transpose it. Values are
+    bit-identical to ``moveaxis(nchw, -3, -1)``: the per-axis profiles are
+    computed in float32 and only the final outer-product write is cast to
+    ``dtype``, exactly like casting the f32 NCHW product afterwards.
+    """
+    size = 2 * std
+    n_win = 2 * size
+    step = (2.0 * size) / (n_win - 1)
+
+    c = jnp.trunc(joints2d).astype(jnp.int32)          # (..., N, 2)
+    flat_c = c.reshape((-1,) + c.shape[-2:])           # (B, N, 2)
+    px = jnp.arange(img_wh, dtype=jnp.int32)
+
+    def axis_profile_cl(centre):                       # centre (B, N)
+        # (B, wh, N): pixel axis second-minor, joint axis minor — the
+        # channels-last layout of the output.
+        g = px[None, :, None] - (centre[:, None, :] - size)
+        valid = (g >= 0) & (g < n_win) & (px[None, :, None] <= img_wh - 2)
+        u = -size + g.astype(jnp.float32) * step
+        prof = jnp.exp(-(u * u) / (2.0 * std * std))
+        return jnp.where(valid, prof, 0.0)
+
+    profile_x = axis_profile_cl(flat_c[..., 0])        # (B, wh, N)
+    profile_y = axis_profile_cl(flat_c[..., 1])
+
+    joint_ok = jnp.all((flat_c > -size) & (flat_c < img_wh - 1 + size),
+                       axis=-1).astype(jnp.float32)    # (B, N)
+
+    hm = ((profile_y[:, :, None, :] * profile_x[:, None, :, :])
+          * joint_ok[:, None, None, :]).astype(dtype)  # (B, H, W, N)
+    return hm.reshape(joints2d.shape[:-2] + (img_wh, img_wh, c.shape[-2]))

@@ -57,14 +57,15 @@ def predict_smpl(regressor: SingleInputRegressor,
       silhouette: (B, proxy_wh, proxy_wh).
       joints2d: (B, 17, 2|3) keypoints in proxy_wh space.
     """
+    # The encoder's first conv computes in regressor.dtype, so building the
+    # proxy at that dtype is value-identical to building f32 and casting —
+    # but XLA emits the (B, 256, 256, 18) tensor in bf16 straight out of the
+    # heatmap fusion, in channels-last layout, halving the HBM round-trip
+    # that dominates the proxy-build slice.
     proxy = create_proxy_representation(
         silhouette, joints2d, in_wh=proxy_wh, out_wh=cfg.REGRESSOR_IMG_WH,
-        iuv=iuv, include_silhouette=regressor.in_channels != 20)
-    # The encoder's first conv computes in regressor.dtype, so casting the
-    # proxy at the source is value-identical — but it lets XLA emit the
-    # (B, 256, 256, 18) tensor in bf16 straight out of the heatmap fusion,
-    # halving the HBM round-trip that dominates the proxy-build slice.
-    proxy = proxy.astype(regressor.dtype)
+        iuv=iuv, include_silhouette=regressor.in_channels != 20,
+        dtype=regressor.dtype)
 
     init = default_initial_params(assets.mean_pose_rot6d, assets.mean_shape)
     cam_wp, pose6d, betas = regressor.apply(params, proxy, init)

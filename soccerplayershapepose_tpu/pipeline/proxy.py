@@ -18,7 +18,8 @@ from typing import Optional
 import jax.numpy as jnp
 
 from soccerplayershapepose_tpu import config as cfg
-from soccerplayershapepose_tpu.ops.heatmaps import joints2d_to_gaussian_heatmaps
+from soccerplayershapepose_tpu.ops.heatmaps import (
+    joints2d_to_gaussian_heatmaps_nhwc)
 
 
 def resize_nearest(images: jnp.ndarray, out_wh: int) -> jnp.ndarray:
@@ -42,7 +43,8 @@ def create_proxy_representation(silhouette: jnp.ndarray,
                                 in_wh: int = cfg.PROXY_REP_INPUT_WH,
                                 out_wh: int = cfg.REGRESSOR_IMG_WH,
                                 iuv: Optional[jnp.ndarray] = None,
-                                include_silhouette: bool = True) -> jnp.ndarray:
+                                include_silhouette: bool = True,
+                                dtype=jnp.float32) -> jnp.ndarray:
     """Build batched proxy representations.
 
     Args:
@@ -51,6 +53,12 @@ def create_proxy_representation(silhouette: jnp.ndarray,
         (confidence column ignored).
       iuv: optional (B, in_wh, in_wh, 3) DensePose IUV image in [0, 1].
       include_silhouette: False gives the 20-channel heatmaps+IUV variant.
+      dtype: output dtype. All channel math runs in float32 and only the
+        final writes are cast, so ``dtype=bfloat16`` is value-identical to
+        building in float32 and casting afterwards — but the (B, H, W, C)
+        tensor hits HBM at half width and the heatmaps are synthesised
+        straight into channels-last layout (no NCHW materialise+transpose),
+        which is what makes the predict slice's proxy stage cheap.
 
     Returns:
       (B, out_wh, out_wh, C) NHWC proxy, C ∈ {18, 20, 21}.
@@ -59,16 +67,16 @@ def create_proxy_representation(silhouette: jnp.ndarray,
     # Reference casts scaled joints to int16 before heatmap synthesis
     # (predict_3D.py:76); jnp.trunc in the heatmap op reproduces the cast.
     joints = jnp.trunc(joints2d[..., :2] * scale)
-    heatmaps = joints2d_to_gaussian_heatmaps(joints, out_wh)       # (B,17,H,W)
-    heatmaps = jnp.moveaxis(heatmaps, 1, -1)                       # → NHWC
+    heatmaps = joints2d_to_gaussian_heatmaps_nhwc(joints, out_wh,
+                                                  dtype=dtype)   # (B,H,W,17)
 
     channels = []
     if include_silhouette:
-        channels.append(resize_nearest(silhouette.astype(jnp.float32),
-                                       out_wh)[..., None])
+        channels.append(resize_nearest(silhouette, out_wh)
+                        .astype(dtype)[..., None])
     channels.append(heatmaps)
     if iuv is not None:
         channels.append(resize_nearest(
-            jnp.moveaxis(iuv.astype(jnp.float32), -1, -3), out_wh)
-            .transpose(0, 2, 3, 1))
+            jnp.moveaxis(iuv, -1, -3), out_wh)
+            .transpose(0, 2, 3, 1).astype(dtype))
     return jnp.concatenate(channels, axis=-1)

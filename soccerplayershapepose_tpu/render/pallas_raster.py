@@ -22,6 +22,7 @@ the XLA rasterizer remains the correctness oracle in tests.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -343,6 +344,19 @@ def _fast_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull, res, g):
                        backface_cull, res, g)
 
 
+def _bwd_face_block(f_pad: int, chunk: int) -> int:
+    """Faces per backward-kernel VMEM block (~2k face target).
+
+    Must hold WHOLE chunks (the kernel indexes chunk ranges relative to the
+    block) and satisfy the Mosaic tiling rule — a block dim smaller than the
+    array's must be a multiple of the f32 sublane count (8) — so it is sized
+    in units of lcm(chunk, 8). A full-array block (== f_pad) is always
+    legal. (chunk=86 previously yielded 1978 ≡ 2 mod 8 → lowering error.)
+    """
+    lcm8 = chunk * 8 // math.gcd(chunk, 8)
+    return min(f_pad, ((2048 // lcm8) * lcm8) or lcm8)
+
+
 def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull,
                 res, g):
     verts2d, faces, s, setup = res
@@ -372,8 +386,14 @@ def _pallas_bwd(img_wh, sigma, band_h, chunk, interpret, backface_cull,
     # them blow the 16 MB VMEM budget at large batch. Grid axis 1 iterates
     # face blocks (~2k faces → ~1 MB padded); bands iterate INNERMOST so each
     # dtri block stays resident across its accumulation visits.
+    # The block must hold WHOLE chunks (chunks_per_block) AND satisfy the
+    # Mosaic tiling rule — a non-full second-minor block dim must be a
+    # multiple of the f32 sublane count (8) — so size it in units of
+    # lcm(chunk, 8). (chunk=86 previously yielded f_block 1978 ≡ 2 mod 8,
+    # which Mosaic rejects at lowering; the full-array fwd block never hits
+    # this rule.)
     f_pad = n_chunks * chunk
-    f_block = min(f_pad, ((2048 // chunk) * chunk) or chunk)
+    f_block = _bwd_face_block(f_pad, chunk)
     n_cblocks = -(-f_pad // f_block)
     extra = n_cblocks * f_block - f_pad
     if extra:

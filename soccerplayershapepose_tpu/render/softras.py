@@ -222,7 +222,8 @@ def render_silhouette(vertices: jnp.ndarray,
                       render_wh: int | None = None,
                       backface_cull: bool = False,
                       use_pallas: bool = False,
-                      faces_per_chunk: int = 86) -> jnp.ndarray:
+                      faces_per_chunk: int = 86,
+                      pallas_chunk: int = 8) -> jnp.ndarray:
     """Perspective-project SMPL vertices and rasterize the soft silhouette.
 
     Mirrors the reference NMR call
@@ -250,8 +251,8 @@ def render_silhouette(vertices: jnp.ndarray,
         # fit shapes — see pallas_raster._tile_width/default_band_h):
         # 256² → (band 8, full-width), 512² → (band 32, 128-wide x-tiles).
         return soft_silhouette_fast(verts2d, faces, render_wh, sigma,
-                                    default_band_h(render_wh), 8, False,
-                                    backface_cull)
+                                    default_band_h(render_wh), pallas_chunk,
+                                    False, backface_cull)
     if backface_cull:
         faces = cull_backfaces(verts2d, faces)
     return soft_silhouette(verts2d, faces, render_wh, sigma=sigma,

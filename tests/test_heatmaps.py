@@ -65,3 +65,35 @@ def test_heatmaps_last_row_col_never_written():
     hm = np.asarray(joints2d_to_gaussian_heatmaps(jnp.asarray(j), 256))[0, 0]
     assert hm[:, 255].max() == 0.0 and hm[255, :].max() == 0.0
     assert hm.max() > 0.0  # but the window interior is written
+
+
+def test_heatmaps_nhwc_matches_nchw_transposed():
+    from soccerplayershapepose_tpu.ops.heatmaps import (
+        joints2d_to_gaussian_heatmaps_nhwc)
+    rng = np.random.RandomState(3)
+    # Interior + every boundary clipping case from the tests above.
+    j = np.concatenate([
+        rng.uniform(20, 200, (2, 8, 2)),
+        np.array([[[-7.0, 5.0], [0.0, 0.0], [255.0, 255.0], [250.0, 3.0],
+                   [-9.0, 10.0], [300.0, 10.0], [10.0, 262.0], [262.9, -7.9]],
+                  [[1.0, 254.0], [254.0, 1.0], [-8.9, -8.9], [263.9, 263.9],
+                   [128.0, 128.0], [0.5, 255.5], [199.2, 0.2], [77.0, 201.0]]]),
+    ], axis=1).astype(np.float32)
+    nchw = np.asarray(joints2d_to_gaussian_heatmaps(jnp.asarray(j), 256))
+    nhwc = np.asarray(joints2d_to_gaussian_heatmaps_nhwc(jnp.asarray(j), 256))
+    assert nhwc.shape == (2, 256, 256, 16)
+    np.testing.assert_array_equal(nhwc, np.moveaxis(nchw, 1, -1))
+
+
+def test_heatmaps_nhwc_bf16_equals_cast_f32():
+    from soccerplayershapepose_tpu.ops.heatmaps import (
+        joints2d_to_gaussian_heatmaps_nhwc)
+    rng = np.random.RandomState(4)
+    j = rng.uniform(-12, 268, (3, 17, 2)).astype(np.float32)
+    f32 = joints2d_to_gaussian_heatmaps_nhwc(jnp.asarray(j), 256)
+    b16 = joints2d_to_gaussian_heatmaps_nhwc(jnp.asarray(j), 256,
+                                             dtype=jnp.bfloat16)
+    assert b16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(b16.astype(jnp.float32)),
+                                  np.asarray(f32.astype(jnp.bfloat16)
+                                             .astype(jnp.float32)))

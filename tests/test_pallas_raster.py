@@ -206,3 +206,45 @@ def test_pallas_backward_dotred_matches_default(monkeypatch):
     g_dot = grad_with(True)
     np.testing.assert_allclose(np.asarray(g_dot), np.asarray(g_tree),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bwd_face_block_always_lowerable():
+    """The backward kernel's face block must hold whole chunks AND satisfy
+    Mosaic's 8-sublane rule unless it spans the padded array (chunk=86 used
+    to produce 1978 ≡ 2 mod 8 and die at lowering)."""
+    from soccerplayershapepose_tpu.render.pallas_raster import _bwd_face_block
+    f = 13776  # SMPL face count
+    for chunk in (1, 3, 8, 16, 32, 43, 64, 86, 100, 128, 256, 300, 2048):
+        n_chunks = -(-f // chunk)
+        f_pad = n_chunks * chunk
+        fb = _bwd_face_block(f_pad, chunk)
+        assert fb % chunk == 0, (chunk, fb)
+        assert fb == f_pad or fb % 8 == 0, (chunk, fb)
+        assert fb >= chunk
+
+
+def test_pallas_backward_multi_faceblock_odd_chunk():
+    """Grad parity through the MULTI-block backward path with a chunk that
+    is not 8-divisible (f_block = lcm-sized 1200 < f_pad): the regression
+    for the r4 lcm fix, plus the cross-block chunk-range indexing."""
+    import jax
+    from soccerplayershapepose_tpu.render.pallas_raster import (
+        _bwd_face_block, soft_silhouette_fast)
+
+    chunk, wh = 300, 64
+    rng = np.random.RandomState(1)
+    n_tri = 2100        # f_pad 2100 > f_block 1800 → 2 blocks + sentinel pad
+    centers = rng.uniform(8, wh - 8, (n_tri, 1, 2))
+    tris = (centers + rng.uniform(-3, 3, (n_tri, 3, 2))).astype(np.float32)
+    verts = jnp.asarray(tris.reshape(1, -1, 2))
+    faces = jnp.asarray(np.arange(3 * n_tri, dtype=np.int32).reshape(-1, 3))
+    f_pad = -(-n_tri // chunk) * chunk
+    assert _bwd_face_block(f_pad, chunk) < f_pad  # really multi-block
+
+    gw = jnp.asarray(rng.randn(1, wh, wh).astype(np.float32))
+    gp = jax.grad(lambda v: jnp.sum(
+        soft_silhouette_fast(v, faces, wh, 1e-4, 16, chunk, True) * gw))(verts)
+    gx = jax.grad(lambda v: jnp.sum(
+        soft_silhouette(v, faces, wh, sigma=1e-4) * gw))(verts)
+    rel = float(jnp.abs(gp - gx).max() / (jnp.abs(gx).max() + 1e-9))
+    assert rel < 1e-3, rel
