@@ -1,25 +1,22 @@
 #!/bin/bash
-# Round-4 queue E — runs AFTER tpu_queue_r4d.sh exits (waits on its pid).
+# Round-4 queue E (v2, retriaged after the 06:52 worker outage ate ~30 min).
 #
-# r4d's long tail (quality_record ≤3h + raster sweep) is diverted here via
-# placeholder skip-files so the device time left in the round goes to the
-# highest-value work in order:
-#   1. GT-3D fit follow-ups on the best r4d knob combo — the untried levers
-#      (fit lr, silhouette warmup, 200 iters) + a clean-proxy ceiling cell
-#      (VERDICT #4: target ≥10 mm MPJPE-PA gain; the r4d sweep plateaued
-#      at ~6.4 mm across knob combos)
-#   2. QUALITY_r04 pass 1: the core cells (regressor e2e / clean / corrupt,
-#      detector, proxynet-256 hard) — the VERDICT #2/#3 evidence
-#   3. QUALITY_r04 pass 2: the remaining proxynet cells + ablation merge
-#   4. raster config sweep (opportunistic)
+# Stage order = expected record value per device-minute:
+#   0. BASELINE configs 5+3 (track, frame) — config 5 has never landed in an
+#      official record (VERDICT #1); also warms /tmp/jax_cache for the
+#      driver's official bench at round end
+#   1. QUALITY core cells: the repacked-ProxyNet e2e regressor refresh +
+#      detector + proxynet-256 (VERDICT #2/#3 evidence; near-certain wins)
+#   2. GT-3D fit follow-ups: it200 first (the one lever the r4d sweep left
+#      untried that scales the observed gain), then lr/warmup/clean cells
+#   3. remaining QUALITY cells + ablation merge
+#   4. raster chunk sweep (first real chunk-dimension sweep — unlocked by
+#      the lcm face-block fix in pallas_raster)
 #
-# Every stage honors an absolute deadline (R4E_DEADLINE epoch, default
-# now+150 min) so the driver's official bench run gets a free device at
-# round end. Stages run in their own setsid process group and the group is
-# swept after timeout, so no orphaned eval subprocess outlives its stage.
-#
-# Run:  nohup bash scripts/tpu_queue_r4e.sh > /tmp/tpu_queue_r4e.log 2>&1 &
-# Idempotent: stages skip when their outputs exist.
+# Run via /tmp/r4_supervisor.sh (relaunches this script while core outputs
+# are missing; every stage is output-guarded/idempotent). Absolute deadline
+# in R4E_DEADLINE (epoch); stages run in their own setsid group and the
+# group is swept after timeout so nothing outlives its stage.
 
 set -u
 cd "$(dirname "$0")/.."
@@ -45,19 +42,7 @@ stage() {
     return $rc
 }
 
-# --- 0. wait for the r4d queue to exit ----------------------------------------
-if [ -f /tmp/queue_r4d.pid ]; then
-    while kill -0 "$(cat /tmp/queue_r4d.pid)" 2>/dev/null; do
-        if [ "$(left)" -lt 600 ]; then log "deadline while waiting on r4d; aborting"; exit 1; fi
-        sleep 20
-    done
-fi
-log "r4d exited; starting r4e"
-
-# --- 0.5 BASELINE configs 5+3 (track, frame): warm the compile cache and ------
-# land the numbers in the queue record. Track has NEVER landed in an official
-# record (VERDICT #1/#2); running it first maximizes the chance it lands and
-# leaves /tmp/jax_cache warm for the driver's official bench at round end.
+# --- 0. BASELINE configs 5+3 ---------------------------------------------------
 if ! grep -q track_value BENCH_r04_queue.json 2>/dev/null; then
     stage bench-track-frame 1800 \
         env BENCH_MODE=secondary _BENCH_TRY=9 BENCH_SECONDARY=track,frame \
@@ -96,8 +81,15 @@ if merged:
 EOF
 fi
 
-# --- 1. GT-3D fit follow-ups ---------------------------------------------------
-# Best r4d combo: joints2d rebalance + conf weighting + betas/ortho priors.
+# --- 1. QUALITY core cells ------------------------------------------------------
+if ! grep -q regressor_e2e QUALITY_r04.json 2>/dev/null; then
+    stage quality-core 4200 \
+        python scripts/quality_record.py --out QUALITY_r04.json \
+            --eval-batches 4 --batch 16 --suffix _64img_tpu \
+            --skip proxynet_256_easy,proxynet_256_hard_tta,proxynet_512_hard,proxynet_512_hard_tta,detector_hard_tta,ablation_rand_on,ablation_rand_off
+fi
+
+# --- 2. GT-3D fit follow-ups ----------------------------------------------------
 BEST="--joints2d-scale 1e6 --conf-weight --betas-prior 0.01 --ortho-prior 0.05"
 fit3d() {  # fit3d <tag> <extra args...>  (later duplicate flags win in argparse)
     local tag="$1"; shift
@@ -108,8 +100,8 @@ fit3d() {  # fit3d <tag> <extra args...>  (later duplicate flags win in argparse
             --eval-batches 2 --batch 8 --wh 512 --fit-iters 100 \
             --json "weights/fit3d_sweep_r04d/$tag.json" $@
 }
-fit3d lr3e3   $BEST --fit-lr 3e-3
 fit3d it200   $BEST --fit-iters 200
+fit3d lr3e3   $BEST --fit-lr 3e-3
 fit3d warm20  $BEST --silh-warmup 20
 fit3d clean   $BEST --no-corrupt
 
@@ -140,22 +132,18 @@ if best_path:
     print("promoted", best_path, "gain", round(best_gain, 2), "mm")
 EOF
 
-# --- 2. QUALITY pass 1: core cells --------------------------------------------
-stage quality-core 4800 \
-    python scripts/quality_record.py --out QUALITY_r04.json \
-        --eval-batches 4 --batch 16 --suffix _64img_tpu \
-        --skip proxynet_256_easy,proxynet_256_hard_tta,proxynet_512_hard,proxynet_512_hard_tta,detector_hard_tta,ablation_rand_on,ablation_rand_off
+# --- 3. remaining QUALITY cells + ablation merge --------------------------------
+if ! grep -q proxynet_512_hard QUALITY_r04.json 2>/dev/null; then
+    stage quality-rest 4200 \
+        python scripts/quality_record.py --out QUALITY_r04.json \
+            --eval-batches 4 --batch 16 --suffix _64img_tpu \
+            --skip proxynet_256_hard,detector_hard,regressor_clean,regressor_corrupt,regressor_e2e
+fi
 
-# --- 3. QUALITY pass 2: remaining cells + ablation merge -----------------------
-stage quality-rest 4800 \
-    python scripts/quality_record.py --out QUALITY_r04.json \
-        --eval-batches 4 --batch 16 --suffix _64img_tpu \
-        --skip proxynet_256_hard,detector_hard,regressor_clean,regressor_corrupt,regressor_e2e
-
-# --- 4. Rasterizer sweeps (opportunistic) --------------------------------------
+# --- 4. Rasterizer chunk sweep ---------------------------------------------------
 if ! grep -q "bh=" weights/raster_sweep_r04.log 2>/dev/null; then
     : > /tmp/raster_sweep_r04e.log
-    for cfg in "8 256 64" "8 256 128" "16 256 86"; do
+    for cfg in "8 256 64" "8 256 86" "8 256 128" "8 256 32"; do
         stage "raster-256-$cfg" 600 python scripts/tune_raster.py 256 $cfg \
             2>&1 | tee -a /tmp/raster_sweep_r04e.log
     done
@@ -163,7 +151,8 @@ if ! grep -q "bh=" weights/raster_sweep_r04.log 2>/dev/null; then
         stage "raster-512-$cfg" 600 python scripts/tune_raster.py 512 $cfg \
             2>&1 | tee -a /tmp/raster_sweep_r04e.log
     done
-    cp /tmp/raster_sweep_r04e.log weights/raster_sweep_r04.log 2>/dev/null
+    grep -q "bh=" /tmp/raster_sweep_r04e.log 2>/dev/null && \
+        cp /tmp/raster_sweep_r04e.log weights/raster_sweep_r04.log
 fi
 
 log "queue r4e complete ($(left)s to deadline unspent)"
