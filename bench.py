@@ -339,7 +339,10 @@ def bench_headline():
     from soccerplayershapepose_tpu.smpl import load_assets
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    # 60 iters: the loop's single host sync costs ~26 ms (measured,
+    # scripts/predict_timing_probe.py); at 30 iters it inflates the
+    # per-call wall ~9%, at 60 it is amortized to ~4%%.
+    iters = int(os.environ.get("BENCH_ITERS", "60"))
     assets = load_assets()
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     _, params, fn = build_predictor(in_channels=18, resnet_layers=18,

@@ -94,9 +94,24 @@ def main():
     # to the host CPU (fallback for long TPU outages — slower, same math).
     if os.environ.get("SPT_CPU") == "1":
         common.append("--cpu")
+    # Ordered by record value: with incremental per-cell writes (below), a
+    # deadline kill mid-run keeps everything already measured — so the
+    # cells the VERDICT tracks come first.
     cells = {
+        # Full RGB->ProxyNet->regressor chain (the e2e 3D number):
+        "regressor_e2e": ["eval-regressor", "--wh", "256", "--weights",
+                          args.regressor_weights, "--via-proxynet",
+                          "weights/proxynet_256_f16.npz"] + common,
+        "detector_hard": ["eval-detector", "--weights",
+                          args.detector_weights] + common,
         "proxynet_256_hard": ["eval-proxynet", "--wh", "256", "--weights",
                               "weights/proxynet_256_f16.npz"] + common,
+        # Regressor artifact cells (clean proxies / training-noise proxies):
+        "regressor_clean": ["eval-regressor", "--wh", "512", "--weights",
+                            args.regressor_weights] + common,
+        "regressor_corrupt": ["eval-regressor", "--wh", "512",
+                              "--eval-corrupt", "--weights",
+                              args.regressor_weights] + common,
         "proxynet_256_easy": ["eval-proxynet", "--wh", "256", "--weights",
                               "weights/proxynet_256_f16.npz",
                               "--eval-easy"] + common,
@@ -110,20 +125,8 @@ def main():
                                   "--weights",
                                   "weights/proxynet_512_f16.npz",
                                   "--flip-tta"] + common,
-        "detector_hard": ["eval-detector", "--weights",
-                          args.detector_weights] + common,
         "detector_hard_tta": ["eval-detector", "--weights",
                               args.detector_weights, "--flip-tta"] + common,
-        # Regressor artifact cells (clean proxies / training-noise proxies /
-        # full RGB->ProxyNet->regressor chain):
-        "regressor_clean": ["eval-regressor", "--wh", "512", "--weights",
-                            args.regressor_weights] + common,
-        "regressor_corrupt": ["eval-regressor", "--wh", "512",
-                              "--eval-corrupt", "--weights",
-                              args.regressor_weights] + common,
-        "regressor_e2e": ["eval-regressor", "--wh", "256", "--weights",
-                          args.regressor_weights, "--via-proxynet",
-                          "weights/proxynet_256_f16.npz"] + common,
     }
 
     # Seed from an existing record so a --skip rerun (e.g. merging the
@@ -151,6 +154,8 @@ def main():
             continue
         record[out_name] = res
         print(json.dumps({out_name: res}), flush=True)
+        with open(args.out, "w") as f:      # incremental: survive a kill
+            json.dump(record, f, indent=1)
 
     # Training-ablation arms (equal-budget domain-rand on/off): merge the
     # drive's hard-set best.json and add a clean-set cell per arm so the
@@ -170,6 +175,8 @@ def main():
             continue
         record[f"{arm}_easy{args.suffix}"] = res
         print(json.dumps({f"{arm}_easy{args.suffix}": res}), flush=True)
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
 
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)

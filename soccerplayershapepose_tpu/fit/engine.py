@@ -75,10 +75,12 @@ class FitConfig:
     # intermediates (backward memory scales with it).
     faces_per_chunk: int = 16
     # Pallas kernels' face-chunk size (band pruning granularity; distinct
-    # knob from faces_per_chunk, which batches the XLA path's scan). 8 is
-    # the long-shipped default; the tune_raster sweep explores larger
-    # chunks (fewer, coarser band-overlap tests).
-    pallas_chunk: int = 8
+    # knob from faces_per_chunk, which batches the XLA path's scan).
+    # None = SMEM-safe auto (pallas_raster.auto_pallas_chunk): 8 — the
+    # long-shipped, tuned value — up to 22 rows, doubling as the batch
+    # grows so the kernels' scalar-prefetch arrays fit the ~1 MB SMEM
+    # (the 44-row track workload OOM'd at a fixed 8).
+    pallas_chunk: Optional[int] = None
     # Drop back faces before rasterizing. Closed-mesh silhouettes come from
     # front faces alone (the reference NMR is z-buffered, so back faces never
     # contributed there either); composes with the Pallas kernels via the

@@ -314,6 +314,26 @@ def soft_silhouette_fast(verts2d, faces, img_wh, sigma=1e-5, band_h=8,
                                   backface_cull=backface_cull)
 
 
+def auto_pallas_chunk(n_faces: int, batch: int,
+                      smem_budget: int = 700_000) -> int:
+    """Smallest chunk (≥8, doubling) whose prefetched chunk-range arrays fit
+    in SMEM.
+
+    Both kernels scalar-prefetch four s32 (batch, n_chunks) chunk-range
+    arrays ≈ 16·batch·n_chunks bytes of the ~1 MB SMEM. Fine chunks (8)
+    prune best, but n_chunks scales SMEM linearly with batch: at the
+    44-row track workload chunk 8 needs 1.36 MB and the compile fails
+    with an SMEM OOM (this killed every BASELINE config-5 track attempt
+    through round 4). 700 KB budget leaves headroom for lo/hi bounds and
+    spill slots. batch 22 → 8 (the tuned fit config, unchanged);
+    44 → 16; 128 → 64.
+    """
+    chunk = 8
+    while chunk < n_faces and 16 * batch * (-(-n_faces // chunk)) > smem_budget:
+        chunk *= 2
+    return chunk
+
+
 def _fast_fwd(verts2d, faces, img_wh, sigma, band_h, chunk, interpret,
               backface_cull):
     # Sort/cull/chunk-ranges are computed ONCE here and carried to the

@@ -223,7 +223,7 @@ def render_silhouette(vertices: jnp.ndarray,
                       backface_cull: bool = False,
                       use_pallas: bool = False,
                       faces_per_chunk: int = 86,
-                      pallas_chunk: int = 8) -> jnp.ndarray:
+                      pallas_chunk: int | None = None) -> jnp.ndarray:
     """Perspective-project SMPL vertices and rasterize the soft silhouette.
 
     Mirrors the reference NMR call
@@ -245,7 +245,12 @@ def render_silhouette(vertices: jnp.ndarray,
         # (pallas_raster._sorted_tri_and_ranges) — culled faces sort into
         # chunks no band visits.
         from soccerplayershapepose_tpu.render.pallas_raster import (
-            default_band_h, soft_silhouette_fast)
+            auto_pallas_chunk, default_band_h, soft_silhouette_fast)
+        if pallas_chunk is None:
+            # SMEM-safe default: the kernels' scalar-prefetch arrays scale
+            # with batch × n_chunks (44-row track fits OOM'd at chunk 8).
+            pallas_chunk = auto_pallas_chunk(int(faces.shape[0]),
+                                             int(verts2d.shape[0]))
         # positional args: custom_vjp functions reject kwargs.
         # Kernel tile shape is resolution-dependent (measured v5e sweep at
         # fit shapes — see pallas_raster._tile_width/default_band_h):

@@ -248,3 +248,17 @@ def test_pallas_backward_multi_faceblock_odd_chunk():
         soft_silhouette(v, faces, wh, sigma=1e-4) * gw))(verts)
     rel = float(jnp.abs(gp - gx).max() / (jnp.abs(gx).max() + 1e-9))
     assert rel < 1e-3, rel
+
+
+def test_auto_pallas_chunk_smem_bound():
+    """Chunk auto-sizing: 16·batch·n_chunks bytes of prefetched chunk
+    ranges must fit the budget; the 22-row tuned config keeps chunk 8 and
+    the 44-row track workload (which OOM'd at 8: 1.36MB vs 1MB SMEM) grows."""
+    from soccerplayershapepose_tpu.render.pallas_raster import \
+        auto_pallas_chunk
+    f = 13776
+    assert auto_pallas_chunk(f, 22) == 8       # shipped fit config unchanged
+    for b in (1, 2, 22, 44, 64, 128, 256):
+        c = auto_pallas_chunk(f, b)
+        assert 16 * b * (-(-f // c)) <= 700_000 or c >= f
+    assert auto_pallas_chunk(f, 44) > 8        # the track fix
