@@ -301,7 +301,15 @@ def bench_secondary():
         # fails fast on the dead device (r4 rehearsal: fit256 landed,
         # track/frame/fit512 all lost). The probe burns budget only when
         # the device is actually down.
-        if not _wait_for_device(min(300.0, max(_remaining() - 120.0, 0.0))):
+        if _remaining() < 60:
+            print(f"# bench: budget exhausted before {mode}; skipping",
+                  file=sys.stderr, flush=True)
+            continue
+        # Floor the probe budget at 30s (ADVICE r4): with <2 min left the
+        # old max(remaining-120, 0) issued ZERO probes and mislabeled a
+        # healthy device "unreachable". _wait_for_device still caps by
+        # _remaining internally, so the floor cannot overspend.
+        if not _wait_for_device(min(300.0, max(_remaining() - 120.0, 30.0))):
             print(f"# bench: device unreachable before {mode}; skipping",
                   file=sys.stderr, flush=True)
             continue
@@ -341,7 +349,7 @@ def bench_headline():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     # 60 iters: the loop's single host sync costs ~26 ms (measured,
     # scripts/predict_timing_probe.py); at 30 iters it inflates the
-    # per-call wall ~9%, at 60 it is amortized to ~4%%.
+    # per-call wall ~9%, at 60 it is amortized to ~4%.
     iters = int(os.environ.get("BENCH_ITERS", "60"))
     assets = load_assets()
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -517,12 +525,31 @@ def main():
     if want:
         found = _secondary_subprocess(want, cap_s=_remaining() - 45)
         merge(found)
-        missing = [m for m in want if m not in found]
-        for m in missing:
-            if _remaining() < 180:
+        # Retry EVERY still-missing mode until the budget floor (VERDICT r4
+        # #3: the official record has never contained configs 3/5 because
+        # one device-unreachable used to end the whole secondary pass). A
+        # failed probe re-probes-and-retries rather than breaking: the axon
+        # worker crash-loops in ~2-min episodes and then comes back.
+        mode_key = {"fit256": "fit_value", "track": "track_value",
+                    "frame": "frame_value", "fit512": "fit512_value"}
+
+        def still_missing():
+            return [m for m in want if mode_key[m] not in record]
+
+        retries = {m: 0 for m in want}
+        while _remaining() > 180:
+            # Deterministic-failure guard: a mode that fails 3 solo retries
+            # on a HEALTHY device is broken, not unlucky — drop it.
+            todo = [m for m in still_missing() if retries[m] < 3]
+            if not todo:
                 break
-            if not _wait_for_device(min(120.0, _remaining() - 120.0)):
-                break
+            m = todo[0]
+            retries[m] += 1
+            if not _wait_for_device(min(180.0, _remaining() - 120.0)):
+                print(f"# bench: device still unreachable; {m} retry "
+                      "deferred", file=sys.stderr, flush=True)
+                retries[m] -= 1      # probe failures don't count as attempts
+                continue
             merge(_secondary_subprocess([m], cap_s=_remaining() - 45))
     record["bench_wall_s"] = round(time.time() - _T0, 1)
     print(json.dumps(record), flush=True)

@@ -47,6 +47,15 @@ def _wait_for_device(max_wait_s=2400):
     return False
 
 
+def _write_record(record, path):
+    """Atomic incremental write: a deadline kill mid-dump must never leave
+    a truncated file (the next run seeds from it — ADVICE r4)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f, indent=1)
+    os.replace(tmp, path)
+
+
 def run_cell(args, timeout_s=None, attempts=3):
     """One eval subprocess; parsed JSON from its last stdout line."""
     if timeout_s is None:
@@ -134,8 +143,12 @@ def main():
     # dropping the skipped ones from the rewritten file.
     record = {}
     if os.path.exists(args.out):
-        with open(args.out) as f:
-            record = json.load(f)
+        try:
+            with open(args.out) as f:
+                record = json.load(f)
+        except ValueError:
+            print(f"{args.out} is corrupt; starting a fresh record",
+                  flush=True)
     record.update({"round": args.round, "eval_batches": args.eval_batches,
                    "batch": args.batch,
                    "note": ("held-out synthetic eval (seeds disjoint from "
@@ -154,8 +167,7 @@ def main():
             continue
         record[out_name] = res
         print(json.dumps({out_name: res}), flush=True)
-        with open(args.out, "w") as f:      # incremental: survive a kill
-            json.dump(record, f, indent=1)
+        _write_record(record, args.out)     # incremental: survive a kill
 
     # Training-ablation arms (equal-budget domain-rand on/off): merge the
     # drive's hard-set best.json and add a clean-set cell per arm so the
@@ -175,11 +187,9 @@ def main():
             continue
         record[f"{arm}_easy{args.suffix}"] = res
         print(json.dumps({f"{arm}_easy{args.suffix}": res}), flush=True)
-        with open(args.out, "w") as f:
-            json.dump(record, f, indent=1)
+        _write_record(record, args.out)
 
-    with open(args.out, "w") as f:
-        json.dump(record, f, indent=1)
+    _write_record(record, args.out)
     print(f"wrote {args.out}", flush=True)
 
 

@@ -322,7 +322,8 @@ def auto_pallas_chunk(n_faces: int, batch: int,
     Both kernels scalar-prefetch four s32 (batch, n_chunks) chunk-range
     arrays ≈ 16·batch·n_chunks bytes of the ~1 MB SMEM. Fine chunks (8)
     prune best, but n_chunks scales SMEM linearly with batch: at the
-    44-row track workload chunk 8 needs 1.36 MB and the compile fails
+    44-row track workload chunk 8 needs ~1.21 MB by this estimate (more
+    with the lo/hi band-bound arrays on top) and the compile fails
     with an SMEM OOM (this killed every BASELINE config-5 track attempt
     through round 4). 700 KB budget leaves headroom for lo/hi bounds and
     spill slots. batch 22 → 8 (the tuned fit config, unchanged);

@@ -225,7 +225,7 @@ def test_bwd_face_block_always_lowerable():
 
 def test_pallas_backward_multi_faceblock_odd_chunk():
     """Grad parity through the MULTI-block backward path with a chunk that
-    is not 8-divisible (f_block = lcm-sized 1200 < f_pad): the regression
+    is not 8-divisible (f_block = lcm-sized 1800 < f_pad): the regression
     for the r4 lcm fix, plus the cross-block chunk-range indexing."""
     import jax
     from soccerplayershapepose_tpu.render.pallas_raster import (
