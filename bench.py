@@ -443,7 +443,7 @@ def main():
         if cap < 120:
             break
         env = dict(os.environ, BENCH_MODE="headline",
-                   BENCH_PROBE_BUDGET="120")
+                   BENCH_PROBE_BUDGET="240")
         stdout, errtail = "", ""
         try:
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],

@@ -1,0 +1,348 @@
+"""The distillation circle, end to end: the reference's capstone loop.
+
+Reference behavior being reproduced
+(``/root/reference/Python/Soccer/PlayerReconstruction/PyTorch3DTest.py:831-1184``):
+multi-view + broadcast-view optimized SMPL parameters become pseudo ground
+truth; the regressor is retrained on scene batches of (broadcast proxy,
+pseudo-GT) with the homoscedastic multi-task loss, split train/val by game,
+checkpointed with the all-val-metrics-improve rule. The rebuild closes the
+circle the reference could never measure: the synthetic scene factory
+(train/scenes.py) KNOWS the generating 3D params, so every link — pseudo-GT
+quality, pre- vs post-distillation regressor — is scored against real GT.
+
+Phases (each idempotent / output-guarded; run them in order, rerun freely):
+  make-data  synth broadcast dataset: games x scenes x players, V narrow
+             views + 1 broad view, corrupted proxies + clean GT (CPU or TPU)
+  mint       predict -> single-view -> multi-view -> broad-view stage
+             drivers over the tree (drivers/stages.py) => pseudo-GT npz
+             per player + stage metric summary
+  train      drivers/training.train_regressor warm-started from the
+             committed artifact => best-epoch params, packed npz
+  eval       held-out val games vs GT-3D: pseudo-GT quality, baseline
+             regressor, distilled regressor (same broad proxies)
+
+Usage:
+  python scripts/distill_circle.py make-data --root /tmp/distill_r05
+  python scripts/distill_circle.py mint  --root /tmp/distill_r05
+  python scripts/distill_circle.py train --root /tmp/distill_r05
+  python scripts/distill_circle.py eval  --root /tmp/distill_r05
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT_DIR = os.path.join(REPO, "weights", "distill_r05")
+BASE_WEIGHTS = os.path.join(REPO, "weights", "regressor_18ch_f16.npz")
+
+
+def _games(args):
+    return [f"game{g}" for g in range(args.games)]
+
+
+def val_games(args):
+    """Last ~20% of games are held out (the reference splits by game via
+    Data/train_set.xml, PyTorch3DTest.py:855-856, 964-970)."""
+    games = _games(args)
+    n_train = max(1, int(len(games) * 0.8))
+    return games[n_train:]
+
+
+def cmd_make_data(args):
+    import jax
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.train.scenes import (
+        synth_scene_views, write_scene_tree)
+
+    assets = load_assets()
+    base = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    made = 0
+    for g, game in enumerate(_games(args)):
+        for s in range(args.scenes):
+            scene_name = f"scene{s}"
+            guard = os.path.join(args.root, "scenes", game, scene_name,
+                                 "ball.xml")
+            if os.path.exists(guard):
+                continue
+            rng = jax.random.fold_in(base, g * 1000 + s)
+            data = synth_scene_views(assets, rng, n_players=args.players,
+                                     n_views=args.views, wh=args.wh,
+                                     with_image=not args.no_images)
+            write_scene_tree(args.root, game, scene_name, data,
+                             corrupt_rng=jax.random.fold_in(rng, 99),
+                             write_images=not args.no_images)
+            made += 1
+            print(f"{game}/{scene_name} written "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    print(f"make-data: {made} scenes written to {args.root}", flush=True)
+    return 0
+
+
+def _fit_cfg(args, iters, lr=None):
+    from soccerplayershapepose_tpu.fit import FitConfig
+    # r4d knob combo (weights/fit3d_benchmark_r04d.json): relative priors +
+    # joints2d rebalance — the configuration measured to IMPROVE 3D.
+    return FitConfig(iters=iters, lr=lr or 0.001, proxy_wh=args.wh,
+                     render_wh=min(args.wh, 256),
+                     joints2d_scale=1e6, joint_conf_weighting=True,
+                     betas_prior=0.01, rot_ortho_prior=0.05)
+
+
+def cmd_mint(args):
+    from soccerplayershapepose_tpu import config as cfg
+    from soccerplayershapepose_tpu.drivers import stages
+    from soccerplayershapepose_tpu.pipeline.predict import build_predictor
+    from soccerplayershapepose_tpu.smpl import load_assets
+
+    assets = load_assets()
+    regressor, params, regressor_fn = build_predictor()
+    if os.path.exists(BASE_WEIGHTS):
+        from soccerplayershapepose_tpu.train.straps import \
+            load_regressor_weights
+        params = load_regressor_weights(BASE_WEIGHTS, regressor, assets)
+
+    images = os.path.join(args.root, "images")
+    proxies = os.path.join(args.root, "proxies")
+    broad_images = os.path.join(args.root, "broad_images")
+    broad_proxies = os.path.join(args.root, "broad_proxies")
+    sgl = os.path.join(args.root, "sgl")
+    mul = os.path.join(args.root, "mul")
+    broad = os.path.join(args.root, "broad")
+    summary_path = os.path.join(args.root, "MINT_SUMMARY.json")
+    summary = {}
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f)
+
+    # --fast: tiny iteration budgets for CPU smoke runs of the full circle.
+    sv_iters = 4 if args.fast else cfg.SINGLE_VIEW_ITERS
+    mv_rounds = 1 if args.fast else cfg.MULTI_VIEW_ROUNDS
+    mv_iters = 4 if args.fast else cfg.MULTI_VIEW_ITERS
+    bd_iters = 4 if args.fast else cfg.BROAD_VIEW_ITERS
+
+    t0 = time.time()
+    if "single" not in summary:
+        res = stages.single_view_optimization(
+            assets, images, proxies, sgl, params=params,
+            regressor_fn=regressor_fn,
+            fit_cfg=_fit_cfg(args, sv_iters),
+            batch_size=args.batch, skip_existing=True)
+        summary["single"] = res
+        summary["single_wall_s"] = round(time.time() - t0, 1)
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print("single:", json.dumps(res), flush=True)
+
+    t0 = time.time()
+    if "multi" not in summary:
+        res = stages.multi_view_optimization(
+            assets, images, proxies, sgl, mul,
+            fit_cfg=_fit_cfg(args, mv_iters),
+            batch_size=max(args.batch // 4, 2),
+            rounds=mv_rounds, iters_per_phase=mv_iters)
+        summary["multi"] = res
+        summary["multi_wall_s"] = round(time.time() - t0, 1)
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print("multi:", json.dumps(res), flush=True)
+
+    t0 = time.time()
+    if "broad" not in summary:
+        res = stages.broad_view_optimization(
+            assets, broad_images, broad_proxies, mul, broad,
+            params=params, regressor_fn=regressor_fn,
+            fit_cfg=_fit_cfg(args, bd_iters, cfg.BROAD_VIEW_LR),
+            batch_size=args.batch)
+        summary["broad"] = res
+        summary["broad_wall_s"] = round(time.time() - t0, 1)
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print("broad:", json.dumps(res), flush=True)
+
+    print("mint complete:", json.dumps(summary), flush=True)
+    return 0
+
+
+def cmd_train(args):
+    import numpy as np
+    from soccerplayershapepose_tpu.drivers.training import train_regressor
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.train.straps import save_regressor_weights
+
+    assets = load_assets()
+    os.makedirs(OUT_DIR, exist_ok=True)
+    ckpt_dir = os.path.join(args.root, "ckpt")
+    out = train_regressor(
+        assets,
+        image_root=os.path.join(args.root, "broad_images"),
+        proxy_root=os.path.join(args.root, "broad_proxies"),
+        target_root=os.path.join(args.root, "broad"),
+        checkpoint_dir=ckpt_dir,
+        train_games=[g for g in _games(args) if g not in set(val_games(args))],
+        epochs=args.epochs, learning_rate=args.lr,
+        max_players=args.players + 2,
+        log_path=os.path.join(ckpt_dir, "tracker.pkl"),
+        seed=args.seed, resume=os.path.isdir(ckpt_dir),
+        init_weights=BASE_WEIGHTS if os.path.exists(BASE_WEIGHTS) else None)
+
+    best_state = out["state"]._replace(params=out["best_params"])
+    dst = os.path.join(OUT_DIR, "regressor_18ch_distilled.npz")
+    save_regressor_weights(dst, best_state, dtype=np.float16)
+    hist = {k: [float(x) for x in v] for k, v in out["history"].items()
+            if k.startswith(("train_", "val_"))
+            and k.split("_", 1)[1] in ("pves_pa", "mpjpes_pa", "loss")}
+    with open(os.path.join(OUT_DIR, "train_history.json"), "w") as f:
+        json.dump({"best_epoch": out["best_epoch"],
+                   "best_val": {k: float(v)
+                                for k, v in out["best_val"].items()},
+                   "history": hist}, f, indent=1)
+    print(json.dumps({"best_epoch": out["best_epoch"],
+                      "best_val": {k: float(v)
+                                   for k, v in out["best_val"].items()},
+                      "saved": dst}), flush=True)
+    return 0
+
+
+def _gt_metrics_for_tree(args, weight_sets):
+    """Per-weight-set GT-3D metrics on held-out broad views, plus the
+    pseudo-GT's own quality (the distillation ceiling)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from soccerplayershapepose_tpu import config as cfg
+    from soccerplayershapepose_tpu.drivers.stages import load_proxy_batch
+    from soccerplayershapepose_tpu.io import formats as io
+    from soccerplayershapepose_tpu.models.ief import default_initial_params
+    from soccerplayershapepose_tpu.models.regressor import \
+        SingleInputRegressor
+    from soccerplayershapepose_tpu.ops.rotations import rot6d_to_rotmat
+    from soccerplayershapepose_tpu.pipeline.proxy import \
+        create_proxy_representation
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.train.straps import (
+        load_regressor_weights, rotmat_metrics)
+
+    assets = load_assets()
+    val = set(val_games(args))
+    scale = cfg.PROXY_REP_INPUT_WH / float(args.wh)
+
+    rows = []   # (sil, j2d_corrupt, gt_pose24, gt_betas, gt_j2d_clean, node)
+    for node in io.walk_player_tree(os.path.join(args.root, "broad_images")):
+        if node.game not in val:
+            continue
+        gt_path = os.path.join(args.root, "gt", node.game, node.scene,
+                               node.player, "gt.npz")
+        if not os.path.exists(gt_path):
+            continue
+        s, j = load_proxy_batch(
+            os.path.join(args.root, "broad_proxies", node.game, node.scene,
+                         node.player), ["broad"])
+        with np.load(gt_path) as z:
+            gt_pose = np.concatenate([z["broad_global_orient"],
+                                      z["body_pose"]], axis=0)
+            gt = {"pose": gt_pose, "betas": z["betas"],
+                  "j2d": z["broad_joints2d"] * scale}
+        rows.append((s[0], j[0], gt, node))
+    if not rows:
+        return {"error": "no val rows"}
+
+    sil = jnp.asarray(np.stack([r[0] for r in rows]))
+    j2d = jnp.asarray(np.stack([r[1] for r in rows]))
+    gt_pose = jnp.asarray(np.stack([r[2]["pose"] for r in rows]))
+    gt_betas = jnp.asarray(np.stack([r[2]["betas"] for r in rows]))
+    gt_j2d = jnp.asarray(np.stack([r[2]["j2d"] for r in rows]))
+    proxy = create_proxy_representation(sil, j2d[..., :2], in_wh=args.wh)
+    init = default_initial_params(assets.mean_pose_rot6d, assets.mean_shape)
+    metric_fwd = jax.jit(rotmat_metrics)
+
+    out = {"n_players_val": len(rows)}
+    for name, path in weight_sets.items():
+        model = SingleInputRegressor(in_channels=18)
+        variables = load_regressor_weights(path, model, assets)
+        cam_wp, pose6d, betas = model.apply(variables, proxy, init)
+        rotmats = rot6d_to_rotmat(pose6d.reshape(-1, cfg.NUM_JOINTS, 6))
+        m = metric_fwd(assets, cam_wp, rotmats, betas, gt_pose, gt_betas,
+                       gt_j2d)
+        out[name] = {k: round(float(v), 2) for k, v in m.items()}
+
+    # Pseudo-GT quality vs real GT (how good was the teacher?)
+    pg_pose, pg_betas, pg_cam, keep = [], [], [], []
+    for i, (_, _, gt, node) in enumerate(rows):
+        path = os.path.join(args.root, "broad", node.game, node.scene,
+                            node.player, "data.npz")
+        if not os.path.exists(path):
+            continue
+        d = io.read_fit_npz(path)
+        pg_pose.append(np.concatenate([d["global_orient"][0],
+                                       d["body_pose"][0]], axis=0))
+        pg_betas.append(d["betas"][0])
+        t = d["translation"][0]
+        pg_cam.append([2 * cfg.FOCAL_LENGTH / (args.wh * t[2] + 1e-9),
+                       t[0], t[1]])
+        keep.append(i)
+    if keep:
+        idx = jnp.asarray(keep)
+        m = metric_fwd(assets, jnp.asarray(np.asarray(pg_cam, np.float32)),
+                       jnp.asarray(np.stack(pg_pose)),
+                       jnp.asarray(np.stack(pg_betas)),
+                       gt_pose[idx], gt_betas[idx], gt_j2d[idx])
+        out["pseudo_gt"] = {k: round(float(v), 2) for k, v in m.items()}
+    return out
+
+
+def cmd_eval(args):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    distilled = os.path.join(OUT_DIR, "regressor_18ch_distilled.npz")
+    sets = {}
+    if os.path.exists(BASE_WEIGHTS):
+        sets["baseline"] = BASE_WEIGHTS
+    if os.path.exists(distilled):
+        sets["distilled"] = distilled
+    out = _gt_metrics_for_tree(args, sets)
+    out["val_games"] = val_games(args)
+    out["note"] = ("GT-3D scores on held-out games' BROAD proxies: "
+                   "baseline = committed regressor_18ch_f16, distilled = "
+                   "trained on broad-view pseudo-GT (mint phase), "
+                   "pseudo_gt = the teacher itself vs real GT")
+    path = os.path.join(OUT_DIR, "distill_eval.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("phase", choices=["make-data", "mint", "train", "eval"])
+    p.add_argument("--root", default="/tmp/distill_r05")
+    p.add_argument("--games", type=int, default=8)
+    p.add_argument("--scenes", type=int, default=4)
+    p.add_argument("--players", type=int, default=6)
+    p.add_argument("--views", type=int, default=3)
+    p.add_argument("--wh", type=int, default=512)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--lr", type=float, default=3e-5)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--no-images", action="store_true",
+                   help="1-px view-marker pngs instead of rendered RGB")
+    p.add_argument("--fast", action="store_true",
+                   help="tiny fit budgets (CPU smoke run of the circle)")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        from soccerplayershapepose_tpu.utils.precision import pin_cpu
+        pin_cpu()
+    return {"make-data": cmd_make_data, "mint": cmd_mint,
+            "train": cmd_train, "eval": cmd_eval}[args.phase](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -138,6 +138,30 @@ def main():
                               args.detector_weights, "--flip-tta"] + common,
     }
 
+    # Round-5 artifact cells — included only when the weights exist.
+    distilled = "weights/distill_r05/regressor_18ch_distilled.npz"
+    if os.path.exists(os.path.join(ROOT, distilled)):
+        cells["regressor_distilled_clean"] = \
+            ["eval-regressor", "--wh", "512", "--weights", distilled] + common
+        cells["regressor_distilled_e2e"] = \
+            ["eval-regressor", "--wh", "256", "--weights", distilled,
+             "--via-proxynet", "weights/proxynet_256_f16.npz"] + common
+    for ch in (21, 20):
+        w = f"weights/regressor_iuv{ch}/weights_last.npz"
+        if os.path.exists(os.path.join(ROOT, w)):
+            cells[f"regressor_iuv{ch}_clean"] = \
+                ["eval-regressor", "--wh", "512", "--proxy-channels",
+                 str(ch), "--weights", w] + common
+            cells[f"regressor_iuv{ch}_corrupt"] = \
+                ["eval-regressor", "--wh", "512", "--eval-corrupt",
+                 "--proxy-channels", str(ch), "--weights", w] + common
+    if os.path.exists(os.path.join(ROOT,
+                                   "weights/regressor_iuv21/weights_last.npz")):
+        cells["regressor_iuv21_e2e"] = \
+            ["eval-regressor", "--wh", "256", "--proxy-channels", "21",
+             "--weights", "weights/regressor_iuv21/weights_last.npz",
+             "--via-proxynet", "weights/proxynet_256_f16.npz"] + common
+
     # Seed from an existing record so a --skip rerun (e.g. merging the
     # late-finishing ablation arms) updates cells in place instead of
     # dropping the skipped ones from the rewritten file.

@@ -118,7 +118,7 @@ def _regressor_setup(args):
     from soccerplayershapepose_tpu.models.regressor import \
         SingleInputRegressor
     from soccerplayershapepose_tpu.train.distill import make_train_state
-    model = SingleInputRegressor(in_channels=18,
+    model = SingleInputRegressor(in_channels=args.proxy_channels,
                                  resnet_layers=args.resnet_layers)
     tx = _make_tx(args)
     state, _ = make_train_state(model, jax.random.PRNGKey(args.seed), tx=tx)
@@ -200,16 +200,19 @@ def _train_segment(args, kind):
                         args.seed * 1000003 + i).rand() < args.p_real:
                     return extracted_regressor_batch(
                         assets, _ex, jax.random.fold_in(base, i),
-                        b=args.batch, wh=args.wh)
+                        b=args.batch, wh=args.wh,
+                        proxy_channels=args.proxy_channels)
                 return synth_regressor_batch(
                     assets, jax.random.fold_in(base, i), b=args.batch,
                     wh=args.wh, corrupt=not args.no_corrupt,
-                    occluders=not args.no_occluders)
+                    occluders=not args.no_occluders,
+                    proxy_channels=args.proxy_channels)
         else:
             batch_fn = lambda i: synth_regressor_batch(  # noqa: E731
                 assets, jax.random.fold_in(base, i), b=args.batch,
                 wh=args.wh, corrupt=not args.no_corrupt,
-                occluders=not args.no_occluders)
+                occluders=not args.no_occluders,
+                proxy_channels=args.proxy_channels)
     else:
         model, tx, state = _detector_setup(args)
         step_fn = jax.jit(make_detector_train_step(model, tx))
@@ -333,7 +336,7 @@ def _eval_regressor(args):
     from soccerplayershapepose_tpu.train.straps import (
         evaluate_regressor, load_regressor_weights)
 
-    model = SingleInputRegressor(in_channels=18,
+    model = SingleInputRegressor(in_channels=args.proxy_channels,
                                  resnet_layers=args.resnet_layers)
     weights = args.weights or os.path.join(args.ckpt_dir, "weights_last.npz")
     assets = load_assets()
@@ -354,14 +357,17 @@ def _eval_regressor(args):
         out = evaluate_regressor_e2e(model, variables["params"],
                                      variables["batch_stats"], ex, assets,
                                      n_batches=args.eval_batches,
-                                     batch=args.batch, wh=args.wh)
+                                     batch=args.batch, wh=args.wh,
+                                     proxy_channels=args.proxy_channels)
         out["proxynet_weights"] = args.via_proxynet
     else:
         out = evaluate_regressor(model, variables["params"],
                                  variables["batch_stats"], assets,
                                  n_batches=args.eval_batches,
                                  batch=args.batch,
-                                 wh=args.wh, corrupt=args.eval_corrupt)
+                                 wh=args.wh, corrupt=args.eval_corrupt,
+                                 proxy_channels=args.proxy_channels)
+    out["proxy_channels"] = args.proxy_channels
     out["weights"] = weights
     print(json.dumps(out), flush=True)
     if args.json:
@@ -405,6 +411,75 @@ def _eval_fit3d(args):
                         "joints2d_scale": args.joints2d_scale,
                         "prior_scale": "relative (r4c: anchored to "
                                        "stop_grad|total|)"}
+    print(json.dumps(out), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+def _fit3d_cfg(args):
+    from soccerplayershapepose_tpu.fit.engine import FitConfig
+    return FitConfig(
+        iters=args.fit_iters or 100, proxy_wh=args.wh,
+        render_wh=min(args.wh, 256), lr=args.fit_lr,
+        joint_conf_weighting=args.conf_weight,
+        betas_prior=args.betas_prior, pose_prior=args.pose_prior,
+        rot_ortho_prior=args.ortho_prior,
+        silh_warmup_iters=args.silh_warmup,
+        joints2d_scale=args.joints2d_scale)
+
+
+def _fit3d_knobs(args):
+    return {"lr": args.fit_lr, "conf_weight": args.conf_weight,
+            "betas_prior": args.betas_prior, "pose_prior": args.pose_prior,
+            "ortho_prior": args.ortho_prior,
+            "silh_warmup": args.silh_warmup,
+            "joints2d_scale": args.joints2d_scale,
+            "prior_scale": "relative (r4c: anchored to stop_grad|total|)"}
+
+
+def _load_fit3d_model(args):
+    from soccerplayershapepose_tpu.models.regressor import \
+        SingleInputRegressor
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.train.straps import load_regressor_weights
+    model = SingleInputRegressor(in_channels=18,
+                                 resnet_layers=args.resnet_layers)
+    weights = args.weights or os.path.join(args.ckpt_dir, "weights_last.npz")
+    assets = load_assets()
+    variables = load_regressor_weights(weights, model, assets)
+    return model, variables, assets, weights
+
+
+def _eval_fit3d_mv(args):
+    from soccerplayershapepose_tpu.train.fit3d import \
+        evaluate_fit_3d_multiview
+    model, variables, assets, weights = _load_fit3d_model(args)
+    out = evaluate_fit_3d_multiview(
+        model, variables["params"], variables["batch_stats"], assets,
+        n_batches=args.eval_batches, batch=args.batch, n_views=args.views,
+        wh=args.wh, corrupt=not args.no_corrupt, fit_cfg=_fit3d_cfg(args),
+        rounds=args.mv_rounds, iters_per_phase=args.mv_iters)
+    out["weights"] = weights
+    out["fit_knobs"] = _fit3d_knobs(args)
+    print(json.dumps(out), flush=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+def _eval_fit3d_track(args):
+    from soccerplayershapepose_tpu.train.fit3d import evaluate_fit_3d_track
+    model, variables, assets, weights = _load_fit3d_model(args)
+    out = evaluate_fit_3d_track(
+        model, variables["params"], variables["batch_stats"], assets,
+        n_batches=args.eval_batches, batch=args.batch,
+        n_frames=args.frames, wh=args.wh, corrupt=not args.no_corrupt,
+        fit_cfg=_fit3d_cfg(args))
+    out["weights"] = weights
+    out["fit_knobs"] = _fit3d_knobs(args)
     print(json.dumps(out), flush=True)
     if args.json:
         with open(args.json, "w") as f:
@@ -502,7 +577,8 @@ def main():
     p.add_argument("mode", choices=[
         "proxynet", "detector", "regressor",
         "drive-proxynet", "drive-detector", "drive-regressor",
-        "eval-proxynet", "eval-detector", "eval-regressor", "eval-fit3d"])
+        "eval-proxynet", "eval-detector", "eval-regressor", "eval-fit3d",
+        "eval-fit3d-mv", "eval-fit3d-track"])
     p.add_argument("--steps", type=int, default=6000)
     p.add_argument("--segment", type=int, default=400)
     p.add_argument("--segment-timeout", type=int, default=2400)
@@ -511,6 +587,14 @@ def main():
     p.add_argument("--h", type=int, default=256)
     p.add_argument("--w", type=int, default=448)
     p.add_argument("--players", type=int, default=8)
+    p.add_argument("--views", type=int, default=3,
+                   help="eval-fit3d-mv: cameras per player")
+    p.add_argument("--frames", type=int, default=8,
+                   help="eval-fit3d-track: clip length per player")
+    p.add_argument("--mv-rounds", type=int, default=3,
+                   help="eval-fit3d-mv: alternation rounds (reference 3)")
+    p.add_argument("--mv-iters", type=int, default=50,
+                   help="eval-fit3d-mv: iters per phase (reference 50)")
     p.add_argument("--channels", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
@@ -523,6 +607,11 @@ def main():
     p.add_argument("--no-occluders", action="store_true")
     p.add_argument("--resnet-layers", type=int, default=18,
                    help="regressor encoder depth (18 or 50)")
+    p.add_argument("--proxy-channels", type=int, default=18,
+                   choices=[18, 20, 21],
+                   help="regressor proxy input: 18 = [sil, heatmaps]; 21 "
+                        "adds IUV; 20 = [heatmaps, IUV] "
+                        "(player_iuv_sp.py:61-427)")
     p.add_argument("--no-corrupt", action="store_true",
                    help="regressor ablation: train on clean GT proxies "
                         "(no STRAPS-style corruption)")
@@ -593,6 +682,10 @@ def main():
         sys.exit(_eval_regressor(args))
     if args.mode == "eval-fit3d":
         sys.exit(_eval_fit3d(args))
+    if args.mode == "eval-fit3d-mv":
+        sys.exit(_eval_fit3d_mv(args))
+    if args.mode == "eval-fit3d-track":
+        sys.exit(_eval_fit3d_track(args))
     sys.exit(_eval_detector(args))
 
 

@@ -1,8 +1,15 @@
-"""Round-3 verify drive: exercise the changed public API on the real chip.
+"""Round-5 verify drive: exercise the changed public API on the real chip.
 
-Covers (per .claude/skills/verify/SKILL.md): the new synth factory forward,
-one ProxyNet + detector train step, and the full-frame pipeline — all small
-shapes, each timed, completion forced through scalar pulls.
+Covers (per .claude/skills/verify/SKILL.md) the round-5 additions: the
+correlated scene factory (multi-view + broad renders), track sequences,
+the multi-view alternating fit, the IUV 20/21-ch proxy variants with the
+channel-expanded warm start (function-identity check), and the relation
+module forward. Small shapes, each timed, completion forced through
+scalar pulls. Prints VERIFY-DRIVE-OK on success.
+
+(The round-3 drive this replaces — synth factory + perception train steps
++ full-frame pipeline — is covered by the committed artifact evals and
+the test tiers; see git history for the old script.)
 """
 
 import os
@@ -17,81 +24,92 @@ import jax.numpy as jnp        # noqa: E402
 import numpy as np             # noqa: E402
 
 
-def t(name, fn):
-    t0 = time.perf_counter()
-    v = fn()
-    dt = time.perf_counter() - t0
-    print(f"{name}: {v:.5f} ({dt:.2f}s incl compile)", flush=True)
-
-
 def main():
     from soccerplayershapepose_tpu.smpl import load_assets
-    from soccerplayershapepose_tpu.train.synth import (
-        synth_crop_batch, synth_frame_batch)
+    from soccerplayershapepose_tpu.train.scenes import (
+        synth_scene_views, synth_track_views)
 
     print("backend:", jax.devices()[0].platform, flush=True)
     assets = load_assets()
-    rng = jax.random.PRNGKey(0)
 
-    batch = synth_crop_batch(assets, rng, b=4, wh=256)
-    t("synth_crop_batch mean", lambda: float(batch["image"].mean()))
-    cov = float(batch["silhouette"].mean())
-    assert 0.005 < cov < 0.9, cov
-    fb = synth_frame_batch(assets, rng, b=2, n_players=6, hw=(256, 448))
-    t("synth_frame_batch mean", lambda: float(fb["image"].mean()))
+    t0 = time.time()
+    d = synth_scene_views(assets, jax.random.PRNGKey(0), n_players=6,
+                          n_views=3, wh=512)
+    s = float(d["broad"]["silhouette"].sum())
+    assert s > 1000, s
+    print(f"scene 6p/3v+broad @512: {time.time() - t0:.1f}s "
+          f"(broad sil px {s:.0f})", flush=True)
+    t0 = time.time()
+    synth_scene_views(assets, jax.random.PRNGKey(1), n_players=6,
+                      n_views=3, wh=512)["broad"]["silhouette"].sum().block_until_ready()
+    print(f"  warm: {time.time() - t0:.1f}s", flush=True)
 
-    from soccerplayershapepose_tpu.models.perception import ProxyNet
-    from soccerplayershapepose_tpu.train.perception import (
-        make_proxynet_state, make_proxynet_train_step)
-    model = ProxyNet(with_iuv=True)
-    state, tx = make_proxynet_state(model, jax.random.PRNGKey(1), wh=256)
-    step = jax.jit(make_proxynet_train_step(model, tx))
-    state, losses = step(state, batch)
-    t("proxynet step total", lambda: float(losses["total"]))
-    state, losses2 = step(state, batch)
-    assert float(losses2["total"]) < float(losses["total"]) * 1.5
+    t0 = time.time()
+    tr = synth_track_views(assets, jax.random.PRNGKey(2), n_players=4,
+                           n_frames=8, wh=512)
+    px = float(tr["silhouette"].sum())
+    assert px > 1000, px
+    print(f"track 4p/8f @512: {time.time() - t0:.1f}s (sil px {px:.0f})",
+          flush=True)
 
-    from soccerplayershapepose_tpu.models.detector import PlayerDetector
-    from soccerplayershapepose_tpu.pipeline.fullframe import \
-        build_frame_pipeline
-    from soccerplayershapepose_tpu.pipeline.predict import build_predictor
-    det = PlayerDetector()
-    det_vars = det.init(jax.random.PRNGKey(2), jnp.zeros((1, 256, 448, 3)))
-    pvars = {"params": state.params, "batch_stats": state.batch_stats}
-    regressor, reg_params, _ = build_predictor(in_channels=18,
-                                               dtype="bfloat16")
-    fn = build_frame_pipeline(det, det_vars, model, pvars, regressor,
-                              reg_params, max_players=8, crop_wh=256)
-    frames = jnp.asarray(np.random.RandomState(0)
-                         .rand(1, 256, 448, 3).astype(np.float32))
-    out = fn(assets, frames)
-    t("frame pipeline verts", lambda: float(jnp.abs(out.vertices).mean()))
-    assert np.isfinite(np.asarray(out.vertices)).all()
+    # Multi-view alternating fit, inside the crash envelope.
+    from soccerplayershapepose_tpu.fit.engine import FitConfig
+    from soccerplayershapepose_tpu.fit.multi_view import (
+        MultiViewInit, multi_view_fit)
+    from soccerplayershapepose_tpu.ops import batch_rodrigues
+    b, v = 2, 2
+    rng = np.random.RandomState(0)
+    rot = batch_rodrigues(jnp.asarray(
+        rng.randn(b * v, 24, 3).astype(np.float32) * 0.15)) \
+        .reshape(b, v, 24, 3, 3)
+    init = MultiViewInit(
+        body_pose=rot[:, :, 1:], global_orient=rot[:, :, :1],
+        betas=jnp.zeros((b, v, 10)),
+        cam_wp=jnp.tile(jnp.array([[[0.9, 0.0, 0.0]]]), (b, v, 1)))
+    sil = jnp.stack([x["silhouette"][:b] for x in d["views"][:v]], axis=1)
+    j2d = jnp.stack([x["joints2d"][:b] for x in d["views"][:v]], axis=1)
+    t0 = time.time()
+    res = multi_view_fit(assets, init, sil, j2d,
+                         FitConfig(iters=10, render_wh=128),
+                         rounds=1, iters_per_phase=10)
+    print(f"multi_view_fit b2 v2 r1x10 @128: {time.time() - t0:.1f}s "
+          f"iou {np.asarray(res.silh_iou).round(3)}", flush=True)
 
-    # New fused backward rasterizer kernel on-chip vs XLA oracle gradient.
-    from soccerplayershapepose_tpu.render.pallas_raster import \
-        soft_silhouette_fast
-    from soccerplayershapepose_tpu.render.softras import (
-        cull_backfaces, soft_silhouette)
-    v2d = jnp.asarray(
-        (np.asarray(assets.v_template)[None, :, :2] * 100 + 128
-         + np.random.RandomState(0).randn(2, 1, 2)).astype(np.float32))
+    # IUV warm start: function-identity of the 21-ch expansion.
+    from soccerplayershapepose_tpu.models.ief import default_initial_params
+    from soccerplayershapepose_tpu.models.regressor import \
+        SingleInputRegressor
+    from soccerplayershapepose_tpu.train.straps import (
+        expand_regressor_channels, load_regressor_weights,
+        synth_regressor_batch)
+    w18 = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "weights", "regressor_18ch_f16.npz")
+    expand_regressor_channels(w18, "/tmp/reg21_verify.npz", 21)
+    m18 = SingleInputRegressor(in_channels=18)
+    m21 = SingleInputRegressor(in_channels=21)
+    v18 = load_regressor_weights(w18, m18, assets)
+    v21 = load_regressor_weights("/tmp/reg21_verify.npz", m21, assets)
+    batch = synth_regressor_batch(assets, jax.random.PRNGKey(3), b=4,
+                                  wh=256, proxy_channels=21)
+    ip = default_initial_params(assets.mean_pose_rot6d, assets.mean_shape)
+    _, p18, _ = m18.apply(v18, batch["proxy"][..., :18], ip)
+    _, p21, _ = m21.apply(v21, batch["proxy"], ip)
+    dmax = float(jnp.abs(p21 - p18).max())
+    print(f"21ch proxy {tuple(batch['proxy'].shape)}; warm-start identity "
+          f"max|dpose| {dmax:.2e}", flush=True)
+    assert dmax < 1e-4, dmax
 
-    def loss_fast(v):
-        return jnp.sum(soft_silhouette_fast(v, assets.faces, 256,
-                                            backface_cull=True) ** 2)
+    # Relation module forward on device.
+    from soccerplayershapepose_tpu.models.relation import PoseRelationModule
+    from soccerplayershapepose_tpu.train.relation import synth_relation_batch
+    rb = synth_relation_batch(jax.random.PRNGKey(4), b=2, n_players=6)
+    rel = PoseRelationModule()
+    rp = rel.init(jax.random.PRNGKey(5), rb["rotmats_noisy"], rb["boxes"],
+                  rb["mask"])
+    out = rel.apply(rp, rb["rotmats_noisy"], rb["boxes"], rb["mask"])
+    print("relation fwd:", tuple(out.shape), flush=True)
 
-    def loss_oracle(v):
-        fc = cull_backfaces(v, assets.faces)
-        return jnp.sum(soft_silhouette(v, fc, 256) ** 2)
-
-    g_fast = jax.jit(jax.grad(loss_fast))(v2d)
-    g_ref = jax.jit(jax.grad(loss_oracle))(v2d)
-    rel = float(jnp.linalg.norm(g_fast - g_ref)
-                / (jnp.linalg.norm(g_ref) + 1e-12))
-    print(f"bwd kernel grad rel-l2 vs oracle: {rel:.2e}", flush=True)
-    assert rel < 1e-4, rel
-    print("VERIFY OK", flush=True)
+    print("VERIFY-DRIVE-OK", flush=True)
 
 
 if __name__ == "__main__":

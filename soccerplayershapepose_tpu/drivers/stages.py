@@ -319,9 +319,13 @@ def multi_view_optimization(assets: SMPLAssets, image_root: str,
                             batch_size: int = 8,
                             ignore_first: bool = True,
                             verbose: bool = True,
+                            rounds: int = cfg.MULTI_VIEW_ROUNDS,
+                            iters_per_phase: int = cfg.MULTI_VIEW_ITERS,
                             mesh=None) -> dict:
     """Batched multi-view fitting; writes shared data.npz + per-view npz +
-    metrics.xml per player (player_recon.py:1976-1986)."""
+    metrics.xml per player (player_recon.py:1976-1986). ``rounds`` /
+    ``iters_per_phase`` scale the 3×(50 cam + 50 pose) reference budget
+    (global_var.py:95-97) for smoke runs."""
     fit_cfg = fit_cfg or FitConfig(iters=cfg.MULTI_VIEW_ITERS)
 
     players = []
@@ -383,7 +387,9 @@ def multi_view_optimization(assets: SMPLAssets, image_root: str,
         res = multi_view_fit(assets, init,
                              jnp.asarray(_pad_batch(sil_l, batch_size)),
                              jnp.asarray(_pad_batch(j2d_l, batch_size)),
-                             fit_cfg, mask=mask, mesh=mesh)
+                             fit_cfg, rounds=rounds,
+                             iters_per_phase=iters_per_phase,
+                             mask=mask, mesh=mesh)
 
         for i, (node, views) in enumerate(chunk[:n_real]):
             out_dir = os.path.join(result_root, node.game, node.scene,

@@ -137,11 +137,24 @@ def train_regressor(assets: SMPLAssets,
                     max_players: int = cfg.MAX_PLAYERS_PER_FRAME,
                     log_path: Optional[str] = None,
                     seed: int = 0,
-                    resume: bool = False) -> dict:
-    """Scene-batched distillation training loop (see module docstring)."""
+                    resume: bool = False,
+                    init_weights: Optional[str] = None) -> dict:
+    """Scene-batched distillation training loop (see module docstring).
+
+    ``init_weights`` warm-starts params + BN stats from a packed regressor
+    .npz (train/straps.py save_regressor_weights) — the reference fine-tunes
+    from the STRAPS checkpoint rather than training from scratch
+    (PyTorch3DTest.py:893-900 loads resume/pretrained weights).
+    """
     regressor = SingleInputRegressor(in_channels=in_channels)
     state, tx = make_train_state(regressor, jax.random.PRNGKey(seed),
                                  learning_rate=learning_rate)
+    if init_weights:
+        from soccerplayershapepose_tpu.train.straps import \
+            load_regressor_weights
+        variables = load_regressor_weights(init_weights, regressor, assets)
+        state = state._replace(params=variables["params"],
+                               batch_stats=variables["batch_stats"])
     train_step = jax.jit(make_train_step(regressor, tx))
     eval_step = jax.jit(make_eval_step(regressor))
 

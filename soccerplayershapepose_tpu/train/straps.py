@@ -120,11 +120,45 @@ def corrupt_proxy_inputs(rng: jax.Array,
     return sil, joints
 
 
+def gt_iuv_image(part: jnp.ndarray, uv: jnp.ndarray, wh: int,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Stride-4 GT part/uv maps → (B, wh, wh, 3) IUV image in [0, 1].
+
+    Byte-parity with the deployment convention: the reference loads its
+    stored DensePose png and divides by 255 (player_iuv_sp.py:263-285), so
+    channel 0 is part-index/255 (0..24/255) and channels 1-2 are U,V/255.
+    Part labels upsample nearest (labels don't interpolate), UV bilinear
+    (decode_iuv upsamples continuous channels bilinearly). ``mask``
+    multiplies the image (corrupted-silhouette cutouts hit the IUV too —
+    mask-head failure modes are shared)."""
+    b = part.shape[0]
+    part_f = jax.image.resize(part.astype(jnp.float32)[..., None],
+                              (b, wh, wh, 1), "nearest")[..., 0]
+    uv_f = jax.image.resize(uv, (b, wh, wh, 2), "bilinear")
+    fg = (part_f > 0).astype(jnp.float32)
+    iuv = jnp.stack([part_f, uv_f[..., 0] * 255.0 * fg,
+                     uv_f[..., 1] * 255.0 * fg], axis=-1) / 255.0
+    if mask is not None:
+        iuv = iuv * mask[..., None]
+    return iuv
+
+
+def _build_proxy(sil, joints, wh, proxy_channels, iuv=None):
+    """18/20/21-channel proxy dispatch (PyTorch3DTest.py:2092-2116: 21ch =
+    [sil, heatmaps, IUV]; 20ch drops the silhouette channel)."""
+    if proxy_channels == 18:
+        return create_proxy_representation(sil, joints, in_wh=wh)
+    return create_proxy_representation(
+        sil, joints, in_wh=wh, iuv=iuv,
+        include_silhouette=(proxy_channels == 21))
+
+
 def synth_regressor_batch(assets: SMPLAssets, rng: jax.Array, b: int = 16,
                           wh: int = 512, corrupt: bool = True,
                           occluders: bool = True,
                           jitter_frac: float = 0.02,
-                          drop_p: float = 0.08) -> dict:
+                          drop_p: float = 0.08,
+                          proxy_channels: int = 18) -> dict:
     """One STRAPS training batch for :func:`train.distill.make_train_step`.
 
     ``wh`` is the silhouette render resolution (512 = deployment proxy
@@ -132,7 +166,11 @@ def synth_regressor_batch(assets: SMPLAssets, rng: jax.Array, b: int = 16,
     targets are always returned in the 512² proxy frame the distill loss
     normalizes by (cfg.PROXY_REP_INPUT_WH), regardless of ``wh``.
 
-    Returns {proxy (B,256,256,18), joints2d (B,17,2) @512px,
+    ``proxy_channels`` selects the reference's IUV input variants
+    (player_iuv_sp.py:61-427): 18 = [sil, heatmaps]; 21 appends the GT
+    IUV image; 20 = [heatmaps, IUV] without the silhouette channel.
+
+    Returns {proxy (B,256,256,C), joints2d (B,17,2) @512px,
     target_pose (B,24,3,3), target_betas (B,10), gt_cam_wp (B,3)}.
     """
     k_synth, k_corrupt = jax.random.split(rng)
@@ -144,7 +182,12 @@ def synth_regressor_batch(assets: SMPLAssets, rng: jax.Array, b: int = 16,
         sil, joints = corrupt_proxy_inputs(k_corrupt, sil, joints,
                                            jitter_frac=jitter_frac,
                                            drop_p=drop_p)
-    proxy = create_proxy_representation(sil, joints, in_wh=wh)
+    iuv = None
+    if proxy_channels != 18:
+        # Cutout-corrupted silhouette also masks the IUV (shared failure).
+        iuv = gt_iuv_image(data["part"], data["uv"], wh,
+                           mask=sil if corrupt else None)
+    proxy = _build_proxy(sil, joints, wh, proxy_channels, iuv)
     scale = cfg.PROXY_REP_INPUT_WH / float(wh)
     return {"proxy": proxy,
             "joints2d": data["joints2d"] * scale,      # clean supervision
@@ -216,7 +259,7 @@ def rotmat_metrics(assets: SMPLAssets, cam_wp: jnp.ndarray,
 def evaluate_regressor(regressor, params, batch_stats, assets: SMPLAssets,
                        n_batches: int = 4, batch: int = 16, wh: int = 512,
                        corrupt: bool = False, seed: int = 10_000_000,
-                       proxy_fn=None) -> dict:
+                       proxy_fn=None, proxy_channels: int = 18) -> dict:
     """Held-out synthetic eval of a trained regressor.
 
     ``corrupt=True`` evaluates under the training-noise model (the harder,
@@ -231,7 +274,8 @@ def evaluate_regressor(regressor, params, batch_stats, assets: SMPLAssets,
     @jax.jit
     def cell(rng):
         b = synth_regressor_batch(assets, rng, b=batch, wh=wh,
-                                  corrupt=corrupt)
+                                  corrupt=corrupt,
+                                  proxy_channels=proxy_channels)
         proxy = b["proxy"] if proxy_fn is None else proxy_fn(b)
         cam_wp, pose6d, betas = regressor.apply(variables, proxy, init)
         return regressor_metrics(assets, cam_wp, pose6d, betas,
@@ -252,7 +296,8 @@ def evaluate_regressor(regressor, params, batch_stats, assets: SMPLAssets,
 def extracted_regressor_batch(assets: SMPLAssets, extractor, rng: jax.Array,
                               b: int = 16, wh: int = 256,
                               jitter_frac: float = 0.02,
-                              drop_p: float = 0.08) -> dict:
+                              drop_p: float = 0.08,
+                              proxy_channels: int = 18) -> dict:
     """One regressor batch whose proxies come from the REAL perception path.
 
     Replaces :func:`corrupt_proxy_inputs`'s hand-modeled detector noise with
@@ -280,16 +325,27 @@ def extracted_regressor_batch(assets: SMPLAssets, extractor, rng: jax.Array,
         k_corrupt, data["silhouette"], data["joints2d"],
         jitter_frac=jitter_frac, drop_p=drop_p)
     fb_sil, fb_joints = np.asarray(fb_sil), np.asarray(fb_joints)
-    sils, kps = [], []
-    for j, (kp, sil, _) in enumerate(extractor(images_u8)):
+    fb_iuv = None
+    if proxy_channels != 18:
+        fb_iuv = np.asarray(gt_iuv_image(data["part"], data["uv"], wh,
+                                         mask=jnp.asarray(fb_sil)))
+    sils, kps, iuvs = [], [], []
+    for j, (kp, sil, iuv) in enumerate(extractor(images_u8)):
         if kp is None:
             sils.append(fb_sil[j])
             kps.append(fb_joints[j])
+            if proxy_channels != 18:
+                iuvs.append(fb_iuv[j])
         else:
             sils.append(sil.astype(np.float32))
             kps.append(kp[:, :2].astype(np.float32))
-    proxy = create_proxy_representation(
-        jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(kps)), in_wh=wh)
+            if proxy_channels != 18:
+                iuvs.append((iuv.astype(np.float32) / 255.0)
+                            if iuv is not None
+                            else fb_iuv[j])
+    proxy = _build_proxy(
+        jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(kps)), wh,
+        proxy_channels, jnp.asarray(np.stack(iuvs)) if iuvs else None)
     scale = cfg.PROXY_REP_INPUT_WH / float(wh)
     return {"proxy": proxy,
             "joints2d": data["joints2d"] * scale,      # clean supervision
@@ -402,7 +458,8 @@ def evaluate_fit_3d(regressor, params, batch_stats, assets: SMPLAssets,
 def evaluate_regressor_e2e(regressor, params, batch_stats, extractor,
                            assets: SMPLAssets, n_batches: int = 4,
                            batch: int = 16, wh: int = 256,
-                           seed: int = 10_000_000) -> dict:
+                           seed: int = 10_000_000,
+                           proxy_channels: int = 18) -> dict:
     """Full-pipeline held-out eval: RGB crop → extracted proxy → regressor.
 
     The deployment-condition number: synth RGB crops (domain-randomized,
@@ -435,21 +492,29 @@ def evaluate_regressor_e2e(regressor, params, batch_stats, extractor,
                                 return_params=True)
         images_u8 = np.asarray(
             jnp.clip(data["image"] * 255.0, 0, 255)).astype(np.uint8)
-        keep, sils, kps = [], [], []
-        for j, (kp, sil, _) in enumerate(extractor(images_u8)):
+        keep, sils, kps, iuvs = [], [], [], []
+        for j, (kp, sil, iuv) in enumerate(extractor(images_u8)):
             if kp is None:
                 n_fail += 1
                 continue
             keep.append(j)
             sils.append(sil.astype(np.float32))
             kps.append(kp[:, :2])
+            if proxy_channels != 18:
+                # Extractor IUV follows decode_iuv: part 0..24, U/V 0..255;
+                # /255 matches the reference's loaded-png scaling
+                # (player_iuv_sp.py:285).
+                iuvs.append((iuv.astype(np.float32) / 255.0)
+                            if iuv is not None
+                            else np.zeros((wh, wh, 3), np.float32))
         if not keep:
             continue
         n_ok += len(keep)
         idx = jnp.asarray(keep)
-        proxy = create_proxy_representation(
-            jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(kps)),
-            in_wh=wh)
+        proxy = _build_proxy(
+            jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(kps)), wh,
+            proxy_channels,
+            jnp.asarray(np.stack(iuvs)) if iuvs else None)
         target_pose = jnp.concatenate(
             [data["global_orient"], data["body_pose"]], axis=1)
         m = metric_fwd(proxy, target_pose[idx], data["betas"][idx],
@@ -462,6 +527,35 @@ def evaluate_regressor_e2e(regressor, params, batch_stats, extractor,
     out.update(n_images=n_ok, extraction_failures=n_fail, eval_wh=wh,
                via="proxynet_extractor")
     return out
+
+
+def expand_regressor_channels(src_path: str, dst_path: str,
+                              proxy_channels: int) -> None:
+    """18-ch regressor weights → 20/21-ch warm start (IUV variants).
+
+    Only the stem conv consumes the proxy channels; every other parameter
+    transfers verbatim. New IUV input channels get ZERO kernel slices, so
+    the 21-ch net is function-identical to the 18-ch net at init (IUV
+    initially ignored; fine-tuning learns to use it). The 20-ch variant
+    drops the silhouette channel: kernel slice [1:18] maps onto heatmap
+    positions [0:17] and IUV gets zeros — c.f. player_iuv_sp.py:61-427,
+    which trains its IUV regressors from the base checkpoint too
+    (load_checkpoint=True, :428).
+    """
+    import numpy as np
+    flat = dict(np.load(src_path))
+    key = "params/ResNet_0/Conv_0/kernel"
+    k = flat[key]                                       # (7,7,18,64)
+    assert k.shape[2] == 18, k.shape
+    new = np.zeros(k.shape[:2] + (proxy_channels, k.shape[3]), k.dtype)
+    if proxy_channels == 21:        # [sil, 17 heatmaps, IUV]
+        new[:, :, :18] = k
+    elif proxy_channels == 20:      # [17 heatmaps, IUV]
+        new[:, :, :17] = k[:, :, 1:18]
+    else:
+        raise ValueError(proxy_channels)
+    flat[key] = new
+    np.savez(dst_path, **flat)
 
 
 # ---------------------------------------------------------------------------
