@@ -72,6 +72,10 @@ if grep -q broad "$DISTILL_ROOT/MINT_SUMMARY.json" 2>/dev/null; then
         stage distill-eval 1800 python scripts/distill_circle.py eval \
             --root "$DISTILL_ROOT"
     fi
+    # VERDICT #1 names this exact artifact path.
+    [ -s weights/distill_r05/regressor_18ch_distilled.npz ] && \
+        cp -n weights/distill_r05/regressor_18ch_distilled.npz \
+            weights/regressor_18ch_distilled.npz
 fi
 
 # --- 2. GT-3D multi-view + track cells ---------------------------------------------
@@ -133,6 +137,13 @@ fi
 if [ ! -s weights/frame_classifier.npz ]; then
     stage classifier-train 3000 python scripts/train_classifier.py \
         --frames 512 --eval-frames 128 --epochs 10
+fi
+
+# --- 5.5 one-clip dress rehearsal (VERDICT #10) ------------------------------------
+if [ ! -s weights/e2e_r05/summary.json ] || \
+   ! grep -q calc_metrics weights/e2e_r05/summary.json; then
+    stage e2e-rehearsal 5400 python scripts/e2e_rehearsal.py \
+        --root /tmp/e2e_r05
 fi
 
 # --- 6. QUALITY_r05 matrix ---------------------------------------------------------
