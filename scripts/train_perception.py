@@ -377,40 +377,16 @@ def _eval_regressor(args):
 
 
 def _eval_fit3d(args):
-    from soccerplayershapepose_tpu.models.regressor import \
-        SingleInputRegressor
-    from soccerplayershapepose_tpu.smpl import load_assets
-    from soccerplayershapepose_tpu.train.straps import (
-        evaluate_fit_3d, load_regressor_weights)
+    from soccerplayershapepose_tpu.train.straps import evaluate_fit_3d
 
-    model = SingleInputRegressor(in_channels=18,
-                                 resnet_layers=args.resnet_layers)
-    weights = args.weights or os.path.join(args.ckpt_dir, "weights_last.npz")
-    assets = load_assets()
-    variables = load_regressor_weights(weights, model, assets)
-    from soccerplayershapepose_tpu.fit.engine import FitConfig
-    fit_cfg = FitConfig(
-        iters=args.fit_iters or 100, proxy_wh=args.wh,
-        render_wh=min(args.wh, 256), lr=args.fit_lr,
-        joint_conf_weighting=args.conf_weight,
-        betas_prior=args.betas_prior, pose_prior=args.pose_prior,
-        rot_ortho_prior=args.ortho_prior,
-        silh_warmup_iters=args.silh_warmup,
-        joints2d_scale=args.joints2d_scale)
+    model, variables, assets, weights = _load_fit3d_model(args)
     out = evaluate_fit_3d(model, variables["params"],
                           variables["batch_stats"], assets,
                           n_batches=args.eval_batches, batch=args.batch,
                           wh=args.wh, corrupt=not args.no_corrupt,
-                          fit_cfg=fit_cfg)
+                          fit_cfg=_fit3d_cfg(args))
     out["weights"] = weights
-    out["fit_knobs"] = {"lr": args.fit_lr, "conf_weight": args.conf_weight,
-                        "betas_prior": args.betas_prior,
-                        "pose_prior": args.pose_prior,
-                        "ortho_prior": args.ortho_prior,
-                        "silh_warmup": args.silh_warmup,
-                        "joints2d_scale": args.joints2d_scale,
-                        "prior_scale": "relative (r4c: anchored to "
-                                       "stop_grad|total|)"}
+    out["fit_knobs"] = _fit3d_knobs(args)
     print(json.dumps(out), flush=True)
     if args.json:
         with open(args.json, "w") as f:
