@@ -82,7 +82,9 @@ def cmd_relate(args):
         params = variables["params"]
         batch_stats = variables["batch_stats"]
 
-    relation = PoseRelationModule(lift_dim=1024 if args.v1 else None)
+    from soccerplayershapepose_tpu.train.relation import V1_KWARGS
+    rel_kwargs = V1_KWARGS if args.v1 else {}
+    relation = PoseRelationModule(**rel_kwargs)
     rel_params = load_relation_weights(
         os.path.join(REPO, "weights", f"relation_{tag}.npz"), relation,
         n_players=args.players)
@@ -94,7 +96,7 @@ def cmd_relate(args):
     relate = evaluate_model_relate(
         assets, state=_State, relation_params=rel_params,
         boxes_root=os.path.join(args.root, "scenes"),
-        relation_kwargs={"lift_dim": 1024 if args.v1 else None},
+        relation_kwargs=rel_kwargs,
         optimize_cam=args.optimize_cam, **roots)
     out = {"variant": tag, "without_relation": base,
            "with_relation": relate,

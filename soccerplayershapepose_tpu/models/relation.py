@@ -103,6 +103,10 @@ class PoseRelationModule(nn.Module):
         feats = f_a
         if self.lift_dim is not None:
             # Reference fc1 has no activation (regressor_relate1.py:28).
+            # The lifted residual (line ~130) requires the concatenated
+            # unit outputs to span the lifted space.
+            assert self.n_relations * self.key_dim == self.lift_dim, (
+                "lift_dim must equal n_relations*key_dim (v1: 16*64=1024)")
             feats = nn.Dense(self.lift_dim, name="lift")(f_a)
 
         h, dk = self.n_relations, self.key_dim

@@ -40,6 +40,12 @@ class RelationTrainState(NamedTuple):
     step: jnp.ndarray
 
 
+# v1 variant configuration (regressor_relate1.py:19-34): 16 units of dim
+# 64 in a 1024-lifted space, dim_g=64 positional embedding.
+V1_KWARGS = {"lift_dim": 1024, "n_relations": 16, "key_dim": 64,
+             "geo_dim": 64}
+
+
 def synth_relation_batch(rng: jax.Array, b: int = 8, n_players: int = 6,
                          noise_lo: float = 0.05, noise_hi: float = 0.35,
                          outlier_p: float = 0.06,
@@ -107,9 +113,11 @@ def train_relation(rng: jax.Array, steps: int = 3000, b: int = 8,
                    log_every: int = 200, verbose: bool = True):
     """Train a relation module on synthetic correlated scenes.
 
-    Returns (relation_module, params, history).
+    ``lift_dim=1024`` selects the full v1 configuration (16 units × dim
+    64, geo_dim 64 — :data:`V1_KWARGS`). Returns (relation_module,
+    params, history).
     """
-    relation = PoseRelationModule(lift_dim=lift_dim)
+    relation = PoseRelationModule(**(V1_KWARGS if lift_dim else {}))
     k_init, k_data = jax.random.split(rng)
     dummy = synth_relation_batch(jax.random.fold_in(k_data, 0), b=1,
                                  n_players=n_players)
