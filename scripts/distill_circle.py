@@ -170,6 +170,47 @@ def cmd_mint(args):
     return 0
 
 
+def _filtered_target_root(args):
+    """Teacher-quality gate: hard-link broad/ fits whose written joint error
+    (metrics.xml, px) is below ``--filter-px`` into broad_filtered/.
+
+    The reference applies the same idea through its refine gate
+    (player_recon.py:2500-2551 score_thresh): bad fits are sent back, not
+    learned from. Here bad pseudo-GT would cap the student below the
+    committed baseline, so it is excluded from the distillation set.
+    """
+    import shutil
+    from soccerplayershapepose_tpu.io import formats as io
+
+    src = os.path.join(args.root, "broad")
+    if args.filter_px <= 0:
+        return src
+    dst = os.path.join(args.root, "broad_filtered")
+    kept = dropped = 0
+    for node in io.walk_player_tree(os.path.join(args.root, "broad_images")):
+        pdir = os.path.join(src, node.game, node.scene, node.player)
+        mpath = os.path.join(pdir, "metrics.xml")
+        dpath = os.path.join(pdir, "data.npz")
+        if not (os.path.exists(mpath) and os.path.exists(dpath)):
+            continue
+        _, err = io.read_metrics(mpath)
+        if err > args.filter_px:
+            dropped += 1
+            continue
+        out_dir = os.path.join(dst, node.game, node.scene, node.player)
+        os.makedirs(out_dir, exist_ok=True)
+        out_npz = os.path.join(out_dir, "data.npz")
+        if not os.path.exists(out_npz):
+            try:
+                os.link(dpath, out_npz)
+            except OSError:
+                shutil.copy(dpath, out_npz)
+        kept += 1
+    print(f"filter-px {args.filter_px}: kept {kept}, dropped {dropped}",
+          flush=True)
+    return dst
+
+
 def cmd_train(args):
     import numpy as np
     from soccerplayershapepose_tpu.drivers.training import train_regressor
@@ -183,7 +224,7 @@ def cmd_train(args):
         assets,
         image_root=os.path.join(args.root, "broad_images"),
         proxy_root=os.path.join(args.root, "broad_proxies"),
-        target_root=os.path.join(args.root, "broad"),
+        target_root=_filtered_target_root(args),
         checkpoint_dir=ckpt_dir,
         train_games=[g for g in _games(args) if g not in set(val_games(args))],
         epochs=args.epochs, learning_rate=args.lr,
@@ -297,6 +338,87 @@ def _gt_metrics_for_tree(args, weight_sets):
     return out
 
 
+def _cam_from_translation(t, wh):
+    from soccerplayershapepose_tpu import config as cfg
+    return [2 * cfg.FOCAL_LENGTH / (wh * t[2] + 1e-9), t[0], t[1]]
+
+
+def _stage_metrics(args):
+    """GT-3D quality of each teacher stage on held-out games, per view.
+
+    sgl scores every per-view single-view fit; mul scores the shared pose +
+    per-view orient. Locates where the teacher gains/loses accuracy (the
+    reference could never measure this — PyTorch3DTest.py:831-1184 trains on
+    the fits blind; the synthetic factory knows the generating params).
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from soccerplayershapepose_tpu import config as cfg
+    from soccerplayershapepose_tpu.io import formats as io
+    from soccerplayershapepose_tpu.smpl import load_assets
+    from soccerplayershapepose_tpu.train.straps import rotmat_metrics
+
+    assets = load_assets()
+    val = set(val_games(args))
+    scale = cfg.PROXY_REP_INPUT_WH / float(args.wh)
+    metric_fwd = jax.jit(rotmat_metrics)
+
+    rows = {"sgl": [], "mul": []}   # (cam, pose24, betas, gt_pose, gt_betas, gt_j2d)
+    for node in io.walk_player_tree(os.path.join(args.root, "images")):
+        if node.game not in val:
+            continue
+        gt_path = os.path.join(args.root, "gt", node.game, node.scene,
+                               node.player, "gt.npz")
+        if not os.path.exists(gt_path):
+            continue
+        gt = dict(np.load(gt_path))
+        pdir_s = os.path.join(args.root, "sgl", node.game, node.scene,
+                              node.player)
+        pdir_m = os.path.join(args.root, "mul", node.game, node.scene,
+                              node.player)
+        mv = None
+        if os.path.exists(os.path.join(pdir_m, "data.npz")):
+            mv = io.read_multiview_npz(pdir_m)
+        for v in node.views:
+            stem = os.path.splitext(v)[0]
+            if f"{stem}_global_orient" not in gt:
+                continue
+            gt_pose = np.concatenate([gt[f"{stem}_global_orient"],
+                                      gt["body_pose"]], axis=0)
+            gt_j2d = gt[f"{stem}_joints2d"] * scale
+            svp = os.path.join(pdir_s, stem + ".npz")
+            if os.path.exists(svp):
+                d = io.read_fit_npz(svp)
+                rows["sgl"].append((
+                    _cam_from_translation(d["translation"][0], args.wh),
+                    np.concatenate([d["global_orient"][0],
+                                    d["body_pose"][0]], axis=0),
+                    d["betas"][0], gt_pose, gt["betas"], gt_j2d))
+            if mv is not None and stem in mv["views"]:
+                vd = mv["views"][stem]
+                rows["mul"].append((
+                    _cam_from_translation(vd["translation"][0], args.wh),
+                    np.concatenate([vd["global_orient"][0],
+                                    mv["body_pose"][0]], axis=0),
+                    mv["betas"][0], gt_pose, gt["betas"], gt_j2d))
+
+    out = {}
+    for stage, rr in rows.items():
+        if not rr:
+            continue
+        m = metric_fwd(assets,
+                       jnp.asarray(np.asarray([r[0] for r in rr], np.float32)),
+                       jnp.asarray(np.stack([r[1] for r in rr])),
+                       jnp.asarray(np.stack([r[2] for r in rr])),
+                       jnp.asarray(np.stack([r[3] for r in rr])),
+                       jnp.asarray(np.stack([r[4] for r in rr])),
+                       jnp.asarray(np.stack([r[5] for r in rr])))
+        out[stage] = {k: round(float(v), 2) for k, v in m.items()}
+        out[stage]["n_view_fits"] = len(rr)
+    return out
+
+
 def cmd_eval(args):
     os.makedirs(OUT_DIR, exist_ok=True)
     distilled = os.path.join(OUT_DIR, "regressor_18ch_distilled.npz")
@@ -306,6 +428,8 @@ def cmd_eval(args):
     if os.path.exists(distilled):
         sets["distilled"] = distilled
     out = _gt_metrics_for_tree(args, sets)
+    if args.stage_diag:
+        out["teacher_stages"] = _stage_metrics(args)
     out["val_games"] = val_games(args)
     out["note"] = ("GT-3D scores on held-out games' BROAD proxies: "
                    "baseline = committed regressor_18ch_f16, distilled = "
@@ -331,6 +455,11 @@ def main():
     p.add_argument("--epochs", type=int, default=12)
     p.add_argument("--lr", type=float, default=3e-5)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--filter-px", type=float, default=0.0,
+                   help="train: drop players whose broad-fit joint error "
+                        "(metrics.xml) exceeds this many px")
+    p.add_argument("--stage-diag", action="store_true",
+                   help="eval: also score sgl/mul teacher stages vs GT")
     p.add_argument("--no-images", action="store_true",
                    help="1-px view-marker pngs instead of rendered RGB")
     p.add_argument("--fast", action="store_true",
