@@ -120,6 +120,41 @@ def make_video(args):
             "closeup_frames": len(close)}
 
 
+def render_md(summary):
+    """docs/E2E.md: the one-clip acceptance run as a stage table."""
+    lines = [
+        "# One-clip dress rehearsal",
+        "",
+        "A single synthetic broadcast clip through the full chain — the",
+        "reference's de-facto acceptance path (`player_recon.py:2500-2551`,",
+        "`classification.py:261-295`, `player_detection.py:152-250`) as",
+        "real CLI invocations. Regenerate with",
+        "`python scripts/e2e_rehearsal.py`; raw record:",
+        "`weights/e2e_r05/summary.json`.",
+        "",
+    ]
+    vid = summary.get("video", {})
+    if vid:
+        lines += [f"Clip: {vid.get('wide_frames', '?')} wide broadcast "
+                  f"frames + {vid.get('closeup_frames', '?')} close-up "
+                  "shots the classifier gate must reject.", ""]
+    lines += ["| stage | wall s | result |", "|---|---|---|"]
+    for name in ("harvest", "crop_broad", "create_proxy", "predict",
+                 "single_view", "calc_metrics"):
+        st = summary.get(name)
+        if not isinstance(st, dict) or "result" not in st:
+            continue
+        res = json.dumps(st["result"])
+        res = res[:160] + ("…" if len(res) > 160 else "")
+        lines.append(f"| `{st['command'].split()[1]}` | {st['wall_s']} "
+                     f"| `{res}` |")
+    lines += ["", summary.get("note", ""), ""]
+    path = os.path.join(REPO, "docs", "E2E.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"rendered {path}", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="/tmp/e2e_r05")
@@ -186,6 +221,7 @@ def main():
         "single-view fits (metrics.xml per player) -> calc-metrics "
         "(refine gate count at 10 px, player_recon.py:874,1046)")
     _save(summary)
+    render_md(summary)
     print(json.dumps({k: v for k, v in summary.items()
                       if k in ("harvest", "calc_metrics")}), flush=True)
     return 0
