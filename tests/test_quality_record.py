@@ -48,7 +48,13 @@ def _run(qr, monkeypatch, tmp_path, argv, cell_result):
 ALL_CELLS = ["proxynet_256_hard", "proxynet_256_easy",
              "proxynet_256_hard_tta", "proxynet_512_hard",
              "proxynet_512_hard_tta", "detector_hard", "detector_hard_tta",
-             "regressor_clean", "regressor_corrupt", "regressor_e2e"]
+             "regressor_clean", "regressor_corrupt", "regressor_e2e",
+             # Conditional round-5 artifact cells (present only when the
+             # matching weights exist in the repo — skip them regardless).
+             "regressor_distilled_clean", "regressor_distilled_e2e",
+             "regressor_iuv21_clean", "regressor_iuv21_corrupt",
+             "regressor_iuv20_clean", "regressor_iuv20_corrupt",
+             "regressor_iuv21_e2e"]
 
 
 def test_merge_preserves_skipped_cells(qr, monkeypatch, tmp_path):
