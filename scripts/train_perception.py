@@ -193,15 +193,44 @@ def _train_segment(args, kind):
                                 flip_tta=args.flip_tta)
             import numpy as _np
 
-            def batch_fn(i, _ex=ex):
-                # Per-step deterministic mix decision (stable across
-                # segment re-exec boundaries).
-                if _np.random.RandomState(
-                        args.seed * 1000003 + i).rand() < args.p_real:
+            cache_dir = args.extract_cache
+            if cache_dir:
+                os.makedirs(cache_dir, exist_ok=True)
+
+            def _extracted(i, _ex=ex):
+                if not cache_dir:
                     return extracted_regressor_batch(
                         assets, _ex, jax.random.fold_in(base, i),
                         b=args.batch, wh=args.wh,
                         proxy_channels=args.proxy_channels)
+                # Disk-cached extraction: the ProxyNet forward + 1-core
+                # host post is ~10s/batch, far slower than a train step, so
+                # each cache slot is extracted once (first epoch) and
+                # replayed afterwards. Files persist across segment
+                # re-execs and timeouts — retried segments are cheap.
+                from soccerplayershapepose_tpu.train.straps import \
+                    assemble_extracted_batch
+                slot = i % args.extract_batches
+                path = os.path.join(cache_dir, f"batch_{slot:05d}.npz")
+                if not os.path.exists(path):
+                    raw = extracted_regressor_batch(
+                        assets, _ex, jax.random.fold_in(base, 777_000 + slot),
+                        b=args.batch, wh=args.wh,
+                        proxy_channels=args.proxy_channels, return_raw=True)
+                    tmp = path + ".tmp.npz"
+                    _np.savez(tmp, **raw)
+                    os.replace(tmp, path)
+                with _np.load(path) as z:
+                    raw = {k: z[k] for k in z.files}
+                return assemble_extracted_batch(raw, args.wh,
+                                                args.proxy_channels)
+
+            def batch_fn(i):
+                # Per-step deterministic mix decision (stable across
+                # segment re-exec boundaries).
+                if _np.random.RandomState(
+                        args.seed * 1000003 + i).rand() < args.p_real:
+                    return _extracted(i)
                 return synth_regressor_batch(
                     assets, jax.random.fold_in(base, i), b=args.batch,
                     wh=args.wh, corrupt=not args.no_corrupt,
@@ -629,6 +658,12 @@ def main():
                    help="crop tree for distillation mixing")
     p.add_argument("--real-proxy-root", default=None)
     p.add_argument("--p-real", type=float, default=0.3)
+    p.add_argument("--extract-cache", default=None,
+                   help="regressor --via-proxynet: directory caching "
+                        "extracted batches (each slot extracted once, "
+                        "replayed across epochs/segment retries)")
+    p.add_argument("--extract-batches", type=int, default=48,
+                   help="number of cache slots (distinct extracted batches)")
     p.add_argument("--finetune-from", default=None)
     p.add_argument("--weights", default=None)
     p.add_argument("--json", default=None)

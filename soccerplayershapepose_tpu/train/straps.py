@@ -297,7 +297,8 @@ def extracted_regressor_batch(assets: SMPLAssets, extractor, rng: jax.Array,
                               b: int = 16, wh: int = 256,
                               jitter_frac: float = 0.02,
                               drop_p: float = 0.08,
-                              proxy_channels: int = 18) -> dict:
+                              proxy_channels: int = 18,
+                              return_raw: bool = False) -> dict:
     """One regressor batch whose proxies come from the REAL perception path.
 
     Replaces :func:`corrupt_proxy_inputs`'s hand-modeled detector noise with
@@ -311,6 +312,13 @@ def extracted_regressor_batch(assets: SMPLAssets, extractor, rng: jax.Array,
 
     Rows whose extraction fails (no instance found) fall back to the
     corrupted GT proxy, so the batch shape stays static for jit.
+
+    ``return_raw=True`` skips the proxy assembly and returns numpy-only
+    pre-proxy tensors (extracted sil/kps[/iuv] + supervision) sized for an
+    on-disk cache — the extraction is by far the expensive part (ProxyNet
+    forward + per-image host post on a 1-core host), so the e2e fine-tune
+    drive extracts each batch once and replays it across epochs/segments
+    (:func:`assemble_extracted_batch`).
     """
     import numpy as np
     k_synth, k_corrupt = jax.random.split(rng)
@@ -343,16 +351,46 @@ def extracted_regressor_batch(assets: SMPLAssets, extractor, rng: jax.Array,
                 iuvs.append((iuv.astype(np.float32) / 255.0)
                             if iuv is not None
                             else fb_iuv[j])
+    scale = cfg.PROXY_REP_INPUT_WH / float(wh)
+    if return_raw:
+        raw = {"sil": np.stack(sils).astype(np.uint8),
+               "kps": np.stack(kps).astype(np.float32),
+               "joints2d": np.asarray(data["joints2d"] * scale, np.float32),
+               "target_pose": np.asarray(jnp.concatenate(
+                   [data["global_orient"], data["body_pose"]], axis=1),
+                   np.float32),
+               "target_betas": np.asarray(data["betas"], np.float32),
+               "gt_cam_wp": np.asarray(data["cam_wp"], np.float32)}
+        if iuvs:
+            raw["iuv"] = (np.stack(iuvs) * 255.0).astype(np.uint8)
+        return raw
     proxy = _build_proxy(
         jnp.asarray(np.stack(sils)), jnp.asarray(np.stack(kps)), wh,
         proxy_channels, jnp.asarray(np.stack(iuvs)) if iuvs else None)
-    scale = cfg.PROXY_REP_INPUT_WH / float(wh)
     return {"proxy": proxy,
             "joints2d": data["joints2d"] * scale,      # clean supervision
             "target_pose": jnp.concatenate(
                 [data["global_orient"], data["body_pose"]], axis=1),
             "target_betas": data["betas"],
             "gt_cam_wp": data["cam_wp"]}
+
+
+def assemble_extracted_batch(raw, wh: int, proxy_channels: int = 18) -> dict:
+    """Cached :func:`extracted_regressor_batch` raw npz → training batch.
+
+    The proxy is rebuilt on device (one fused heatmap-synthesis program,
+    pipeline/proxy.py) — cheap compared to re-running extraction.
+    """
+    iuv = None
+    if proxy_channels != 18:
+        iuv = jnp.asarray(raw["iuv"], jnp.float32) / 255.0
+    proxy = _build_proxy(jnp.asarray(raw["sil"], jnp.float32),
+                         jnp.asarray(raw["kps"]), wh, proxy_channels, iuv)
+    return {"proxy": proxy,
+            "joints2d": jnp.asarray(raw["joints2d"]),
+            "target_pose": jnp.asarray(raw["target_pose"]),
+            "target_betas": jnp.asarray(raw["target_betas"]),
+            "gt_cam_wp": jnp.asarray(raw["gt_cam_wp"])}
 
 
 def synth_fit_batch(assets: SMPLAssets, rng: jax.Array, b: int = 8,
