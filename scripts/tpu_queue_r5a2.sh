@@ -46,7 +46,7 @@ if [ ! -f weights/regressor_r05/weights_last.npz ]; then
             --batch 16 --wh 256 --lr 3e-5 --segment 50 \
             --via-proxynet weights/proxynet_256_f16.npz --p-real 0.5 \
             --extract-cache /tmp/extract_cache_r05 --extract-batches 48 \
-            --finetune-from weights/regressor_warm --segment-timeout 900 \
+            --finetune-from weights/regressor_warm --segment-timeout 2000 \
             --eval-batches 0 \
             --ckpt-dir weights/regressor_r05
 fi
