@@ -5,7 +5,7 @@
 # host core ≈ 12.5 s/step), so a 100-step segment could never beat its
 # 900 s timeout and the drive looped forever re-running step 1-50.
 # Fix: --extract-cache replays each extracted batch from disk (extract
-# once, reuse across epochs AND segment retries), --segment 50 keeps
+# once, reuse across epochs AND segment retries), --segment 200 keeps
 # segments inside the timeout even while the cache is cold.
 #
 # Stages (idempotent): e2e fine-tune -> e2e eval -> clean eval + verdict.
@@ -41,9 +41,9 @@ stage() {
 if [ ! -f weights/regressor_r05/weights_last.npz ]; then
     mkdir -p weights/regressor_warm
     cp -n weights/regressor_18ch_f16.npz weights/regressor_warm/weights_last.npz
-    stage regressor-e2e-finetune 5400 \
-        python scripts/train_perception.py drive-regressor --steps 1500 \
-            --batch 16 --wh 256 --lr 3e-5 --segment 50 \
+    stage regressor-e2e-finetune 3900 \
+        python scripts/train_perception.py drive-regressor --steps 900 \
+            --batch 16 --wh 256 --lr 3e-5 --segment 200 \
             --via-proxynet weights/proxynet_256_f16.npz --p-real 0.5 \
             --extract-cache /tmp/extract_cache_r05 --extract-batches 48 \
             --finetune-from weights/regressor_warm --segment-timeout 2000 \
