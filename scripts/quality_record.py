@@ -146,6 +146,16 @@ def main():
         cells["regressor_distilled_e2e"] = \
             ["eval-regressor", "--wh", "256", "--weights", distilled,
              "--via-proxynet", "weights/proxynet_256_f16.npz"] + common
+    # Extracted-proxy fine-tuned regressor (r5a2 queue; kept separate from
+    # the base artifact so in-flight comparisons against regressor_18ch_f16
+    # stay coherent).
+    e2eft = "weights/regressor_18ch_e2eft.npz"
+    if os.path.exists(os.path.join(ROOT, e2eft)):
+        cells["regressor_e2eft_clean"] = \
+            ["eval-regressor", "--wh", "512", "--weights", e2eft] + common
+        cells["regressor_e2eft_e2e"] = \
+            ["eval-regressor", "--wh", "256", "--weights", e2eft,
+             "--via-proxynet", "weights/proxynet_256_f16.npz"] + common
     for ch in (21, 20):
         w = f"weights/regressor_iuv{ch}/weights_last.npz"
         if os.path.exists(os.path.join(ROOT, w)):

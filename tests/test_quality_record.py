@@ -52,6 +52,7 @@ ALL_CELLS = ["proxynet_256_hard", "proxynet_256_easy",
              # Conditional round-5 artifact cells (present only when the
              # matching weights exist in the repo — skip them regardless).
              "regressor_distilled_clean", "regressor_distilled_e2e",
+             "regressor_e2eft_clean", "regressor_e2eft_e2e",
              "regressor_iuv21_clean", "regressor_iuv21_corrupt",
              "regressor_iuv20_clean", "regressor_iuv20_corrupt",
              "regressor_iuv21_e2e"]
