@@ -78,9 +78,13 @@ def cmd_relate(args):
     weights = os.path.join(REPO, "weights", "regressor_18ch_f16.npz")
     variables = load_regressor_weights(weights, regressor, assets)
 
-    class _State:
-        params = variables["params"]
-        batch_stats = variables["batch_stats"]
+    # eval_step is jitted over the state pytree — a bare namespace class
+    # would be traced as an (invalid) leaf. Build the real TrainState and
+    # swap in the loaded inference weights.
+    from soccerplayershapepose_tpu.train.distill import make_train_state
+    state, _ = make_train_state(regressor, jax.random.PRNGKey(0))
+    state = state._replace(params=variables["params"],
+                           batch_stats=variables["batch_stats"])
 
     from soccerplayershapepose_tpu.train.relation import V1_KWARGS
     rel_kwargs = V1_KWARGS if args.v1 else {}
@@ -92,9 +96,9 @@ def cmd_relate(args):
     roots = dict(image_root=os.path.join(args.root, "broad_images"),
                  proxy_root=os.path.join(args.root, "broad_proxies"),
                  target_root=os.path.join(args.root, "broad"))
-    base = evaluate_model(assets, state=_State, **roots)
+    base = evaluate_model(assets, state=state, **roots)
     relate = evaluate_model_relate(
-        assets, state=_State, relation_params=rel_params,
+        assets, state=state, relation_params=rel_params,
         boxes_root=os.path.join(args.root, "scenes"),
         relation_kwargs=rel_kwargs,
         optimize_cam=args.optimize_cam, **roots)
