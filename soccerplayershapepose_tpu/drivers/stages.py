@@ -221,6 +221,14 @@ def single_view_optimization(assets: SMPLAssets, image_root: str,
                 os.path.join(out_dir, os.path.splitext(view)[0] + ".npz"),
                 np.asarray(res.body_pose[i]), np.asarray(res.global_orient[i]),
                 np.asarray(res.betas[i]), np.asarray(res.translation[i]))
+            # Per-player score for the refine gate / calc_metrics roll-up
+            # (the reference prints + stores these per stage,
+            # player_recon.py:874,1046,1305-1307). Single-view trees are
+            # the only fit output the broadcast-only chain produces, so
+            # without this the gate has nothing to aggregate.
+            io.write_metrics(os.path.join(out_dir, "metrics.xml"),
+                             float(res.silh_iou[i]),
+                             float(res.joint_err[i]))
             if vis_folder is not None:
                 vis_dir = os.path.join(vis_folder, node.game, node.scene,
                                        node.player)
